@@ -1,0 +1,102 @@
+"""Torch-checkpoint -> Flax parameter converters.
+
+The reference pulls all model weights from torch.hub / HF
+(SURVEY.md §2.5). This module maps those released state dicts into this
+framework's Flax pytrees. Conversion is pure numpy (no torch needed at
+inference time — pass any mapping of name -> array).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _t(x) -> np.ndarray:
+    arr = np.asarray(x.detach().cpu().numpy() if hasattr(x, "detach") else x)
+    return arr.astype(np.float32)
+
+
+def _dense(sd, prefix):
+    return {"kernel": _t(sd[f"{prefix}.weight"]).T, "bias": _t(sd[f"{prefix}.bias"])}
+
+
+def _layernorm(sd, prefix):
+    return {"scale": _t(sd[f"{prefix}.weight"]), "bias": _t(sd[f"{prefix}.bias"])}
+
+
+def dinov2_from_hf(state_dict: dict, num_layers: int) -> dict:
+    """HF Dinov2WithRegistersModel state dict -> DinoV2 Flax params.
+
+    HF layout (transformers.models.dinov2_with_registers): embeddings.* +
+    encoder.layer.{i}.{norm1, attention.attention.{query,key,value},
+    attention.output.dense, layer_scale1.lambda1, norm2, mlp.fc1/fc2,
+    layer_scale2.lambda1} + layernorm.
+    """
+    sd = state_dict
+    params: dict = {}
+    proj_w = _t(sd["embeddings.patch_embeddings.projection.weight"])  # [D, 3, P, P]
+    params["patch_embed"] = {
+        "kernel": proj_w.transpose(2, 3, 1, 0),  # HWIO
+        "bias": _t(sd["embeddings.patch_embeddings.projection.bias"]),
+    }
+    params["cls_token"] = _t(sd["embeddings.cls_token"])
+    params["reg_tokens"] = _t(sd["embeddings.register_tokens"])
+    params["pos_embed"] = _t(sd["embeddings.position_embeddings"])
+    params["norm"] = _layernorm(sd, "layernorm")
+
+    for i in range(num_layers):
+        p = f"encoder.layer.{i}"
+        q = _t(sd[f"{p}.attention.attention.query.weight"])
+        k = _t(sd[f"{p}.attention.attention.key.weight"])
+        v = _t(sd[f"{p}.attention.attention.value.weight"])
+        qb = _t(sd[f"{p}.attention.attention.query.bias"])
+        kb = _t(sd[f"{p}.attention.attention.key.bias"])
+        vb = _t(sd[f"{p}.attention.attention.value.bias"])
+        params[f"block{i}"] = {
+            "norm1": _layernorm(sd, f"{p}.norm1"),
+            "attn": {
+                "qkv": {
+                    "kernel": np.concatenate([q, k, v], axis=0).T,
+                    "bias": np.concatenate([qb, kb, vb]),
+                },
+                "proj": _dense(sd, f"{p}.attention.output.dense"),
+            },
+            "ls1": {"gamma": _t(sd[f"{p}.layer_scale1.lambda1"])},
+            "norm2": _layernorm(sd, f"{p}.norm2"),
+            "mlp": {"fc1": _dense(sd, f"{p}.mlp.fc1"), "fc2": _dense(sd, f"{p}.mlp.fc2")},
+            "ls2": {"gamma": _t(sd[f"{p}.layer_scale2.lambda1"])},
+        }
+    return params
+
+
+def dinov2_from_hub(state_dict: dict, num_layers: int) -> dict:
+    """facebookresearch/dinov2 torch.hub state dict -> DinoV2 Flax params.
+
+    Hub layout: patch_embed.proj, cls_token, register_tokens, pos_embed,
+    blocks.{i}.{norm1, attn.qkv, attn.proj, ls1.gamma, norm2,
+    mlp.fc1/fc2, ls2.gamma}, norm.
+    """
+    sd = state_dict
+    params: dict = {}
+    proj_w = _t(sd["patch_embed.proj.weight"])
+    params["patch_embed"] = {
+        "kernel": proj_w.transpose(2, 3, 1, 0),
+        "bias": _t(sd["patch_embed.proj.bias"]),
+    }
+    params["cls_token"] = _t(sd["cls_token"])
+    params["reg_tokens"] = _t(sd["register_tokens"])
+    params["pos_embed"] = _t(sd["pos_embed"])
+    params["norm"] = _layernorm(sd, "norm")
+    for i in range(num_layers):
+        p = f"blocks.{i}"
+        params[f"block{i}"] = {
+            "norm1": _layernorm(sd, f"{p}.norm1"),
+            "attn": {
+                "qkv": _dense(sd, f"{p}.attn.qkv"),
+                "proj": _dense(sd, f"{p}.attn.proj"),
+            },
+            "ls1": {"gamma": _t(sd[f"{p}.ls1.gamma"])},
+            "norm2": _layernorm(sd, f"{p}.norm2"),
+            "mlp": {"fc1": _dense(sd, f"{p}.mlp.fc1"), "fc2": _dense(sd, f"{p}.mlp.fc2")},
+            "ls2": {"gamma": _t(sd[f"{p}.ls2.gamma"])},
+        }
+    return params

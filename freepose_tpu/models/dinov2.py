@@ -1,0 +1,150 @@
+"""DINOv2 ViT with register tokens, in Flax.
+
+TPU-native re-implementation of the two DINOv2 towers the reference drives
+through torch.hub: ViT-L/14-reg for retrieval / pose scoring (reference
+src/pipeline/retrieval/dino.py:7-32, truncated at block 22 of 24) and
+ViT-B/14-reg for tracking-refiner confidence (reference
+src/pipeline/estimators/tracking_refiner.py:23-28, 518² → 37×37 patches).
+
+Layout: tokens = [cls, reg×4, patches]; position embeddings cover cls+patches
+only (registers get none), bicubically resampled for non-native grids.
+Weights convert from HF `Dinov2WithRegistersModel` checkpoints via
+freepose_tpu.models.convert.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from freepose_tpu.models.vit import TransformerBlock, interpolate_pos_embed
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+@dataclasses.dataclass(frozen=True)
+class DinoV2Config:
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    patch_size: int = 14
+    image_size: int = 518  # native grid the position embeddings were trained at
+    num_registers: int = 4
+    mlp_ratio: float = 4.0
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def native_grid(self) -> int:
+        return self.image_size // self.patch_size
+
+
+VIT_L14_REG = DinoV2Config()
+VIT_B14_REG = DinoV2Config(hidden_size=768, num_layers=12, num_heads=12)
+VIT_S14_REG = DinoV2Config(hidden_size=384, num_layers=12, num_heads=6)
+# Tiny config for tests.
+VIT_TEST = DinoV2Config(hidden_size=64, num_layers=3, num_heads=4, image_size=56)
+
+
+class DinoV2(nn.Module):
+    """Returns all-token features after block `layer` + final norm."""
+
+    config: DinoV2Config
+
+    @nn.compact
+    def __call__(self, images: jax.Array, layer: Optional[int] = None) -> jax.Array:
+        """images: [B, 3, H, W], ImageNet-normalized. -> [B, 1+R+N, D]."""
+        cfg = self.config
+        n_layers = layer if layer is not None else cfg.num_layers
+        b, _, h, w = images.shape
+        gh, gw = h // cfg.patch_size, w // cfg.patch_size
+
+        x = nn.Conv(
+            cfg.hidden_size,
+            (cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            dtype=cfg.dtype,
+            name="patch_embed",
+        )(images.transpose(0, 2, 3, 1))
+        x = x.reshape(b, gh * gw, cfg.hidden_size)
+
+        cls_token = self.param("cls_token", nn.initializers.zeros, (1, 1, cfg.hidden_size))
+        reg_tokens = self.param(
+            "reg_tokens", nn.initializers.zeros, (1, cfg.num_registers, cfg.hidden_size)
+        )
+        pos_embed = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (1, 1 + cfg.native_grid**2, cfg.hidden_size),
+        )
+
+        # cls + patches get position embeddings; registers are inserted after.
+        patch_pos = interpolate_pos_embed(pos_embed[:, 1:], (gh, gw), cfg.native_grid)
+        x = x + patch_pos.astype(cfg.dtype)
+        cls = (cls_token + pos_embed[:, :1]).astype(cfg.dtype)
+        tokens = jnp.concatenate(
+            [
+                jnp.tile(cls, (b, 1, 1)),
+                jnp.tile(reg_tokens.astype(cfg.dtype), (b, 1, 1)),
+                x,
+            ],
+            axis=1,
+        )
+
+        for i in range(n_layers):
+            tokens = TransformerBlock(
+                cfg.hidden_size,
+                cfg.num_heads,
+                cfg.mlp_ratio,
+                layerscale=True,
+                dtype=cfg.dtype,
+                name=f"block{i}",
+            )(tokens)
+        return nn.LayerNorm(epsilon=1e-6, dtype=cfg.dtype, name="norm")(tokens)
+
+
+def normalize_images(images: jax.Array) -> jax.Array:
+    """[B, 3, H, W] in [0, 1] -> ImageNet-normalized."""
+    mean = jnp.asarray(IMAGENET_MEAN, images.dtype).reshape(1, 3, 1, 1)
+    std = jnp.asarray(IMAGENET_STD, images.dtype).reshape(1, 3, 1, 1)
+    return (images - mean) / std
+
+
+def split_tokens(tokens: jax.Array, num_registers: int = 4) -> dict:
+    return {
+        "cls": tokens[:, 0],
+        "reg": tokens[:, 1 : 1 + num_registers],
+        "patch": tokens[:, 1 + num_registers :],
+    }
+
+
+class DinoFeatureExtractor:
+    """Feature-extraction front end mirroring the reference's extractor API
+    (src/pipeline/retrieval/dino.py:14-32): normalize, run to `layer`, final
+    norm, select cls / reg / patch tokens. The forward is one jit program per
+    (shape, layer)."""
+
+    def __init__(self, config: DinoV2Config = VIT_L14_REG, params=None, seed: int = 0):
+        self.config = config
+        self.model = DinoV2(config)
+        if params is None:
+            dummy = jnp.zeros((1, 3, config.patch_size * 2, config.patch_size * 2), config.dtype)
+            params = self.model.init(jax.random.PRNGKey(seed), dummy)["params"]
+        self.params = params
+
+    @partial(jax.jit, static_argnames=("self", "layer", "feature_type"))
+    def __call__(self, images: jax.Array, layer: int = 22, feature_type: str = "patch") -> jax.Array:
+        tokens = self.model.apply(
+            {"params": self.params}, normalize_images(images.astype(self.config.dtype)), layer=layer
+        )
+        return split_tokens(tokens, self.config.num_registers)[feature_type]
+
+    def __hash__(self):  # jit static self
+        return id(self)
+
+    def __eq__(self, other):
+        return self is other
