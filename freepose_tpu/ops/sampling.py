@@ -1,0 +1,131 @@
+"""Resampling ops: area/bilinear resize, ROI-align, masked FFA pooling.
+
+Device-side equivalents of the reference's cv2/torch resampling calls:
+cv2.INTER_AREA mask downsampling for FFA pooling
+(scripts/extract_proposals_ground.py:129), F.interpolate bilinear score masks
+(online_pose_estimator.py:73), torchvision roi_align crops
+(refiner_utils.py:127-132). All are batched gathers with static shapes.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def resize_area(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """Area-averaging resize of [..., H, W] (cv2.INTER_AREA equivalent for
+    downsampling)."""
+    h, w = img.shape[-2], img.shape[-1]
+    oh, ow = out_hw
+    img = img.astype(jnp.float32)
+    if h % oh == 0 and w % ow == 0:
+        # Exact box average for integer downsampling factors (the hot case:
+        # 420-px proposal masks -> 30×30 FFA grid is exactly 14×).
+        fh, fw = h // oh, w // ow
+        r = img.reshape(img.shape[:-2] + (oh, fh, ow, fw))
+        return r.mean(axis=(-3, -1))
+    # General case: antialiased linear resize integrates over source boxes,
+    # closely matching INTER_AREA.
+    return jax.image.resize(img, img.shape[:-2] + (oh, ow), method="linear", antialias=True)
+
+
+def resize_bilinear(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """Bilinear resize of [..., H, W] matching torch F.interpolate
+    (align_corners=False, no antialias)."""
+    h, w = img.shape[-2], img.shape[-1]
+    oh, ow = out_hw
+    # torch bilinear: src = (dst + 0.5) * (in/out) - 0.5
+    ys = (jnp.arange(oh, dtype=jnp.float32) + 0.5) * (h / oh) - 0.5
+    xs = (jnp.arange(ow, dtype=jnp.float32) + 0.5) * (w / ow) - 0.5
+    y0 = jnp.clip(jnp.floor(ys), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs), 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    wy = jnp.clip(ys - y0, 0.0, 1.0)
+    wx = jnp.clip(xs - x0, 0.0, 1.0)
+    y0i, y1i, x0i, x1i = (a.astype(jnp.int32) for a in (y0, y1, x0, x1))
+
+    img_f = img.astype(jnp.float32)
+    top = img_f[..., y0i, :]
+    bot = img_f[..., y1i, :]
+    rows = top * (1 - wy)[..., :, None] + bot * wy[..., :, None]
+    left = rows[..., :, x0i]
+    right = rows[..., :, x1i]
+    return left * (1 - wx) + right * wx
+
+
+@partial(jax.jit, static_argnames=("grid",))
+def ffa_pool(patch_feats: jax.Array, masks: jax.Array, grid: int = 30) -> jax.Array:
+    """Foreground-feature-averaging: masked mean of patch tokens.
+
+    patch_feats: [N, grid*grid, D]; masks: [N, H, W] bool proposal masks.
+    Mirrors the reference FFA (extract_proposals_ground.py:125-134): masks are
+    area-downsampled to the patch grid, thresholded >0, and the masked mean of
+    patch features is L2-normalized. Empty downsampled masks fall back to the
+    unmasked mean instead of NaN.
+    """
+    n = patch_feats.shape[0]
+    m = resize_area(masks.astype(jnp.float32), (grid, grid)) > 0
+    m = m.reshape(n, grid * grid, 1).astype(patch_feats.dtype)
+    cnt = jnp.sum(m, axis=1)
+    mean_masked = jnp.sum(patch_feats * m, axis=1) / jnp.maximum(cnt, 1.0)
+    mean_all = jnp.mean(patch_feats, axis=1)
+    feats = jnp.where(cnt > 0, mean_masked, mean_all)
+    return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True).clip(1e-12)
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w", "sampling_ratio"))
+def roi_align(
+    image: jax.Array,  # [C, H, W]
+    boxes: jax.Array,  # [N, 4] xyxy (float, can exceed image bounds)
+    out_h: int,
+    out_w: int,
+    sampling_ratio: int = 2,
+) -> jax.Array:
+    """torchvision-style ROI align (aligned=False) -> [N, C, out_h, out_w]."""
+    c, h, w = image.shape
+
+    def sample_bilinear(y, x):
+        # Out-of-range samples contribute 0 (torchvision semantics).
+        valid = (y > -1.0) & (y < h) & (x > -1.0) & (x < w)
+        y = jnp.clip(y, 0.0, h - 1)
+        x = jnp.clip(x, 0.0, w - 1)
+        y0 = jnp.floor(y)
+        x0 = jnp.floor(x)
+        y1 = jnp.clip(y0 + 1, 0, h - 1)
+        x1 = jnp.clip(x0 + 1, 0, w - 1)
+        wy = y - y0
+        wx = x - x0
+        y0i, y1i, x0i, x1i = (a.astype(jnp.int32) for a in (y0, y1, x0, x1))
+        v = (
+            image[:, y0i, x0i] * ((1 - wy) * (1 - wx))
+            + image[:, y0i, x1i] * ((1 - wy) * wx)
+            + image[:, y1i, x0i] * (wy * (1 - wx))
+            + image[:, y1i, x1i] * (wy * wx)
+        )
+        return v * valid
+
+    def one_box(box):
+        x1, y1, x2, y2 = box
+        bw = jnp.maximum(x2 - x1, 1e-6)
+        bh = jnp.maximum(y2 - y1, 1e-6)
+        bin_h = bh / out_h
+        bin_w = bw / out_w
+        s = sampling_ratio
+        iy = jnp.arange(out_h, dtype=jnp.float32)
+        ix = jnp.arange(out_w, dtype=jnp.float32)
+        sy = jnp.arange(s, dtype=jnp.float32)
+        # Sample grid: for each output bin, s×s sample points.
+        ys = y1 + (iy[:, None] + (sy[None, :] + 0.5) / s) * bin_h  # [oh, s]
+        xs = x1 + (ix[:, None] + (sy[None, :] + 0.5) / s) * bin_w  # [ow, s]
+        yy = ys.reshape(-1)  # [oh*s]
+        xx = xs.reshape(-1)  # [ow*s]
+        grid_y = jnp.repeat(yy, xx.shape[0]).reshape(yy.shape[0], xx.shape[0])
+        grid_x = jnp.tile(xx, (yy.shape[0], 1))
+        vals = sample_bilinear(grid_y.reshape(-1), grid_x.reshape(-1))  # [C, oh*s*ow*s]
+        vals = vals.reshape(c, out_h, s, out_w, s)
+        return vals.mean(axis=(2, 4))
+
+    return jax.vmap(one_box)(boxes.astype(jnp.float32))
