@@ -166,7 +166,10 @@ def rasterize(
         depth = depth.reshape(grid * tile, grid * tile)[:res, :res]
         return rgb, depth
 
-    return jax.vmap(render_one)(poses)
+    # Sequential map over poses: each pose already exposes tiles×faces×pixels
+    # of vector parallelism; batching poses with vmap would multiply the
+    # [T, M, tile²] transients past HBM capacity (e.g. 128 poses × 180 MB).
+    return jax.lax.map(render_one, poses)
 
 
 def render_meshes(

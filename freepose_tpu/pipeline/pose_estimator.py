@@ -1,0 +1,108 @@
+"""Coarse 6D pose estimation by template matching.
+
+TPU-native counterpart of DinoPoseEstimator (reference
+src/pipeline/estimators/pose_estimator.py:18-147): cosine-score the query
+proposal's DINOv2 patch features against the mesh's 600 pre-rendered template
+views, take top-3, and lift each winning template pose to metric depth from
+the detection bbox. Here scoring + top-k + z-lift compile into ONE jit
+program operating on the compact TemplatePack (no per-query depth
+backprojection — see template_bank.depth_stats).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from freepose_tpu.geometry.rotation import template_poses as make_template_poses
+from freepose_tpu.pipeline.renderer import RENDERING_SCALE
+from freepose_tpu.pipeline.template_bank import TemplateBank, TemplatePack, normalize_feats
+
+
+@dataclasses.dataclass
+class PoseEstimate:
+    tcos: jax.Array  # [k, 4, 4] lifted poses, best first
+    scores: jax.Array  # [k]
+    view_indices: jax.Array  # [k]
+    query_feat: jax.Array | None = None  # [G², D] normalized
+
+
+@partial(jax.jit, static_argnames=("top_k",))
+def score_and_lift(
+    feats_template: jax.Array,  # [V, G², D] normalized
+    query_feat: jax.Array,  # [G², D] normalized
+    pc_min: jax.Array,  # [V, 3]
+    pc_max: jax.Array,  # [V, 3]
+    pc_mean: jax.Array,  # [V, 3]
+    poses: jax.Array,  # [V, 4, 4]
+    k: jax.Array,  # [3, 3] query-camera intrinsics
+    bbox: jax.Array,  # [4] xyxy detection bbox
+    est_scale: jax.Array,  # scalar metric half-extent estimate
+    top_k: int = 3,
+    rendering_scale: float = RENDERING_SCALE,
+):
+    """Mean patch-cosine score over views + bbox z-lift of the top-k poses."""
+    scores = jnp.einsum(
+        "vgd,gd->vg", feats_template, query_feat, preferred_element_type=jnp.float32
+    ).mean(axis=-1)
+    top_scores, top_idx = jax.lax.top_k(scores, top_k)
+
+    # z-lift from template pointcloud extents, rescaled from render scale to
+    # the metric estimate: extent' = (extent - mean) * est_scale/render + mean
+    # (reference pose_estimator.py:103-113 does this on the full pointcloud;
+    # min/max/mean transform identically under the affine rescale).
+    s = est_scale / rendering_scale
+    mins = (pc_min[top_idx] - pc_mean[top_idx]) * s + pc_mean[top_idx]  # [k, 3]
+    maxs = (pc_max[top_idx] - pc_mean[top_idx]) * s + pc_mean[top_idx]
+
+    fx, fy = k[0, 0], k[1, 1]
+    cx, cy = k[0, 2], k[1, 2]
+    bb_dx = (bbox[2] - bbox[0]) + 1.0
+    bb_dy = (bbox[3] - bbox[1]) + 1.0
+    z = (fx * (maxs[:, 0] - mins[:, 0]) / bb_dx + fy * (maxs[:, 1] - mins[:, 1]) / bb_dy) / 2.0
+    bb_cx = (bbox[0] + bbox[2]) / 2.0
+    bb_cy = (bbox[1] + bbox[3]) / 2.0
+    x = (bb_cx - cx) * z / fx
+    y = (bb_cy - cy) * z / fy
+
+    tcos = poses[top_idx]
+    tcos = tcos.at[:, 0, 3].set(x)
+    tcos = tcos.at[:, 1, 3].set(y)
+    tcos = tcos.at[:, 2, 3].set(z)
+    return tcos, top_scores, top_idx
+
+
+class CoarsePoseEstimator:
+    """Template-matching coarse pose, one mesh at a time.
+
+    feature_fn(images [B,3,T,T]) -> [B, G², D] layer-truncated DINOv2 patch
+    tokens (the extractor owns layer selection, mirroring layer=22 default).
+    """
+
+    def __init__(self, feature_fn, bank: TemplateBank, n_poses: int = 600):
+        self.feature_fn = feature_fn
+        self.bank = bank
+        self.mesh_poses = make_template_poses(n_poses)
+
+    def query_features(self, proposal: jax.Array) -> jax.Array:
+        """[3, T, T] proposal crop -> [G², D] normalized patch features."""
+        return normalize_feats(self.feature_fn(proposal[None])[0])
+
+    def estimate(
+        self,
+        proposal: jax.Array,
+        pack: TemplatePack,
+        k: jax.Array,
+        bbox: jax.Array,
+        est_scale: float,
+        top_k: int = 3,
+        return_query_feat: bool = False,
+    ) -> PoseEstimate:
+        qf = self.query_features(proposal)
+        tcos, scores, idx = score_and_lift(
+            pack.feats, qf, pack.pc_min, pack.pc_max, pack.pc_mean, pack.poses,
+            k, jnp.asarray(bbox, jnp.float32), jnp.asarray(est_scale, jnp.float32), top_k,
+        )
+        return PoseEstimate(tcos, scores, idx, qf if return_query_feat else None)

@@ -1,0 +1,78 @@
+"""Proposal container: detection crops + masks, device-resident.
+
+Counterpart of the reference `Proposals` (src/pipeline/utils.py:18-69), with
+the N-proposal crop done as one fused gather (no N-fold image repeat) and RLE
+/ BOP-dict export at the host boundary only.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from freepose_tpu.geometry.crop import crop_resize_pad
+from freepose_tpu.io.proposals_json import proposal_entry
+
+
+@dataclasses.dataclass
+class Proposals:
+    """proposals: [N, 3, T, T] masked RGB crops; masks: [N, T, T] bool crops
+    of the detection masks; boxes: [N, 4] xyxy (int); full_masks: [N, H, W]."""
+
+    proposals: jax.Array
+    masks: jax.Array
+    boxes: jax.Array
+    full_masks: jax.Array
+    scene_id: int | None = None
+    frame_id: int | None = None
+    scores: list = dataclasses.field(default_factory=list)
+    meshes: list = dataclasses.field(default_factory=list)
+
+    def __len__(self) -> int:
+        return int(self.boxes.shape[0])
+
+    def to_bop_dicts(self, time: float = 0.01) -> list[dict]:
+        boxes = np.asarray(self.boxes)
+        masks = np.asarray(self.full_masks)
+        return [
+            proposal_entry(
+                boxes[i], masks[i], self.meshes[i], self.scores[i],
+                self.scene_id or 0, self.frame_id or 0, time=time,
+            )
+            for i in range(len(self))
+        ]
+
+
+def extract_proposals(
+    image: jax.Array,  # [H, W, 3] uint8 or float in [0,1]
+    masks: jax.Array,  # [N, H, W] bool
+    boxes: jax.Array,  # [N, 4] xyxy
+    target_size: int = 420,
+    bbox_extend: float = 0.2,
+    mask_rgb: bool = True,
+    scene_id: int | None = None,
+    frame_id: int | None = None,
+) -> Proposals:
+    """Crop each detection to a square target (reference utils.py:32-52)."""
+    img = image.astype(jnp.float32)
+    if img.dtype != jnp.float32 or (image.dtype == jnp.uint8):
+        img = image.astype(jnp.float32)
+    if image.dtype == jnp.uint8:
+        img = img / 255.0
+    chw = img.transpose(2, 0, 1)  # [3, H, W]
+    n = masks.shape[0]
+    rgb = jnp.where(masks[:, None], chw[None], 0.0) if mask_rgb else jnp.broadcast_to(chw, (n,) + chw.shape)
+    crops = crop_resize_pad(rgb, boxes, target_size, extend=bbox_extend)
+    mask_crops = crop_resize_pad(
+        masks[:, None].astype(jnp.float32), boxes, target_size, extend=bbox_extend
+    )[:, 0] > 0.5
+    return Proposals(
+        proposals=crops,
+        masks=mask_crops,
+        boxes=jnp.floor(boxes.astype(jnp.float32)).astype(jnp.int32),
+        full_masks=masks,
+        scene_id=scene_id,
+        frame_id=frame_id,
+    )
