@@ -1,0 +1,182 @@
+"""Online (per-frame) fine pose refinement by local re-render and re-score.
+
+TPU-native counterpart of DinoOnlinePoseEstimator (reference
+src/pipeline/estimators/online_pose_estimator.py:16-96): frame 0 runs the
+coarse 600-view estimator; subsequent frames filter a dense n-pose
+super-Fibonacci grid (10-20k) to the geodesic neighbourhood (<15°) of the
+previous pose, re-render the mesh at those poses, re-score against the query
+features, and z-lift the winner.
+
+TPU-first differences:
+  * the variable-size `np.where(dists < 15°)` neighbourhood becomes a
+    FIXED-size top-k of nearest grid poses with a distance mask — static
+    shapes end to end, so the whole refine step is jit + batched;
+  * renders happen in one batched rasterizer call, not a serial GL loop
+    (the reference's dominant cost, SURVEY.md §3.3);
+  * masked scoring pools over the union mask at the DINOv2 patch grid
+    (reference online_pose_estimator.py:69-74).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from freepose_tpu.geometry.rotation import geodesic_distance, template_poses
+from freepose_tpu.ops.sampling import resize_area
+from freepose_tpu.pipeline.pose_estimator import CoarsePoseEstimator, PoseEstimate, score_and_lift
+from freepose_tpu.pipeline.renderer import RENDERING_SCALE, TemplateRenderer
+from freepose_tpu.pipeline.template_bank import TemplatePack, depth_stats, normalize_feats
+
+
+@partial(jax.jit, static_argnames=("n_neighbors",))
+def select_neighborhood(
+    fine_poses: jax.Array,  # [N, 4, 4] pose grid
+    prev_pose: jax.Array,  # [4, 4]
+    neighborhood_deg: float,
+    n_neighbors: int,
+):
+    """Nearest `n_neighbors` grid poses to prev_pose + within-threshold mask."""
+    dists = geodesic_distance(fine_poses[:, :3, :3], prev_pose[:3, :3])
+    neg, idx = jax.lax.top_k(-dists, n_neighbors)
+    mask = (-neg) < neighborhood_deg
+    # Always keep at least the single nearest pose.
+    mask = mask.at[0].set(True)
+    return fine_poses[idx], idx, mask
+
+
+@partial(jax.jit, static_argnames=("grid", "use_mask"))
+def rescore_views(
+    render_feats: jax.Array,  # [R, G², D] normalized patch feats of renders
+    query_feat: jax.Array,  # [G², D] normalized
+    view_valid: jax.Array,  # [R] bool (neighborhood mask)
+    render_masks: jax.Array,  # [R, H, W] bool render masks
+    proposal_mask: jax.Array,  # [H, W] bool query proposal mask
+    grid: int,
+    use_mask: bool,
+):
+    """Cosine rescoring, optionally weighted by the union mask at the patch
+    grid (reference online_pose_estimator.py:68-76)."""
+    per_patch = jnp.einsum(
+        "rgd,gd->rg", render_feats, query_feat, preferred_element_type=jnp.float32
+    )
+    if use_mask:
+        union = jnp.logical_or(render_masks, proposal_mask[None]).astype(jnp.float32)
+        w = resize_area(union, (grid, grid)).reshape(render_feats.shape[0], grid * grid)
+        scores = jnp.sum(per_patch * w, axis=-1) / jnp.maximum(jnp.sum(w, axis=-1), 1e-6)
+    else:
+        scores = per_patch.mean(axis=-1)
+    return jnp.where(view_valid, scores, -jnp.inf)
+
+
+class OnlinePoseEstimator:
+    def __init__(
+        self,
+        feature_fn,
+        bank,
+        renderer: TemplateRenderer | None = None,
+        n_coarse_poses: int = 600,
+        n_fine_poses: int = 10000,
+        n_neighbors: int = 256,
+        rendering_scale: float = RENDERING_SCALE,
+    ):
+        self.coarse = CoarsePoseEstimator(feature_fn, bank, n_poses=n_coarse_poses)
+        self.feature_fn = feature_fn
+        self.renderer = renderer or bank.renderer
+        self.fine_poses = template_poses(n_fine_poses)
+        self.n_neighbors = n_neighbors
+        self.rendering_scale = rendering_scale
+        self.patch_grid = None  # inferred from first feature call
+
+    def estimate(
+        self,
+        proposal: jax.Array,  # [3, T, T]
+        proposal_mask: jax.Array,  # [T, T] bool
+        pack: TemplatePack,
+        mesh,
+        k: jax.Array,
+        bbox: jax.Array,
+        est_scale: float,
+        prev_pose: jax.Array | None = None,
+        neighborhood_deg: float = 15.0,
+        mask_scores: bool = False,
+    ) -> PoseEstimate:
+        if prev_pose is None:
+            coarse = self.coarse.estimate(
+                proposal, pack, k, bbox, est_scale, return_query_feat=True
+            )
+            query_feat = coarse.query_feat
+            prev_pose = coarse.tcos[0]
+        else:
+            query_feat = self.coarse.query_features(proposal)
+        return self.refine(
+            query_feat, proposal_mask, mesh, k, bbox, est_scale, prev_pose,
+            neighborhood_deg, mask_scores,
+        )
+
+    def refine(
+        self,
+        query_feat: jax.Array,
+        proposal_mask: jax.Array,
+        mesh,
+        k: jax.Array,
+        bbox: jax.Array,
+        est_scale: float,
+        prev_pose: jax.Array,
+        neighborhood_deg: float = 15.0,
+        mask_scores: bool = False,
+    ) -> PoseEstimate:
+        sel_poses, sel_idx, valid = select_neighborhood(
+            self.fine_poses, prev_pose, neighborhood_deg, self.n_neighbors
+        )
+        rgb, depth = self.renderer.render_from_poses(mesh, sel_poses, scale=self.rendering_scale)
+        props, render_masks, _ = self.renderer.generate_proposals(rgb, depth)
+        feats = []
+        bs = 128
+        for i in range(0, props.shape[0], bs):
+            feats.append(self.feature_fn(props[i : i + bs]))
+        render_feats = normalize_feats(jnp.concatenate(feats))
+        grid = int(round(render_feats.shape[1] ** 0.5))
+
+        scores = rescore_views(
+            render_feats, query_feat, valid, render_masks, proposal_mask, grid, mask_scores
+        )
+        pc_min, pc_max, pc_mean = depth_stats(depth, self.renderer.k)
+        tcos, top_scores, local_idx = score_and_lift_from_stats(
+            scores, pc_min, pc_max, pc_mean, sel_poses, k,
+            jnp.asarray(bbox, jnp.float32), jnp.asarray(est_scale, jnp.float32),
+            self.rendering_scale,
+        )
+        return PoseEstimate(tcos, top_scores, sel_idx[local_idx], query_feat)
+
+
+@partial(jax.jit, static_argnames=("rendering_scale",))
+def score_and_lift_from_stats(
+    scores: jax.Array,
+    pc_min: jax.Array,
+    pc_max: jax.Array,
+    pc_mean: jax.Array,
+    poses: jax.Array,
+    k: jax.Array,
+    bbox: jax.Array,
+    est_scale: jax.Array,
+    rendering_scale: float,
+):
+    """argmax + z-lift given precomputed per-view scores and cloud stats."""
+    top_score, top_idx = jax.lax.top_k(scores, 1)
+    s = est_scale / rendering_scale
+    mins = (pc_min[top_idx] - pc_mean[top_idx]) * s + pc_mean[top_idx]
+    maxs = (pc_max[top_idx] - pc_mean[top_idx]) * s + pc_mean[top_idx]
+    fx, fy, cx, cy = k[0, 0], k[1, 1], k[0, 2], k[1, 2]
+    bb_dx = (bbox[2] - bbox[0]) + 1.0
+    bb_dy = (bbox[3] - bbox[1]) + 1.0
+    z = (fx * (maxs[:, 0] - mins[:, 0]) / bb_dx + fy * (maxs[:, 1] - mins[:, 1]) / bb_dy) / 2.0
+    x = ((bbox[0] + bbox[2]) / 2.0 - cx) * z / fx
+    y = ((bbox[1] + bbox[3]) / 2.0 - cy) * z / fy
+    tcos = poses[top_idx]
+    tcos = tcos.at[:, 0, 3].set(x)
+    tcos = tcos.at[:, 1, 3].set(y)
+    tcos = tcos.at[:, 2, 3].set(z)
+    return tcos, top_score, top_idx[0]

@@ -1,0 +1,118 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from freepose_tpu.geometry.rotation import geodesic_distance, template_poses
+from freepose_tpu.io.mesh import TriMesh
+from freepose_tpu.models.dinov2 import DinoFeatureExtractor, DinoV2Config
+from freepose_tpu.ops.rasterizer import RasterSettings
+from freepose_tpu.pipeline.online_pose_estimator import OnlinePoseEstimator, select_neighborhood
+from freepose_tpu.pipeline.renderer import TemplateRenderer
+from freepose_tpu.pipeline.template_bank import TemplateBank
+
+RES = 84
+CFG = DinoV2Config(hidden_size=32, num_layers=2, num_heads=2, patch_size=14, image_size=56)
+
+
+def _mesh():
+    rng = np.random.default_rng(0)
+    n_lat, n_lon = 10, 14
+    verts, faces = [], []
+    for i in range(n_lat + 1):
+        th = np.pi * i / n_lat
+        for j in range(n_lon):
+            ph = 2 * np.pi * j / n_lon
+            r = 1.0 + 0.2 * np.sin(3 * ph) * np.sin(2 * th)
+            verts.append([r * np.sin(th) * np.cos(ph), r * np.sin(th) * np.sin(ph), r * np.cos(th)])
+    for i in range(n_lat):
+        for j in range(n_lon):
+            a = i * n_lon + j
+            b = i * n_lon + (j + 1) % n_lon
+            c = (i + 1) * n_lon + j
+            d = (i + 1) * n_lon + (j + 1) % n_lon
+            faces.append([a, b, c])
+            faces.append([b, d, c])
+    v = np.asarray(verts, np.float32)
+    return TriMesh(v, np.asarray(faces, np.int32), rng.random((len(v), 3)).astype(np.float32))
+
+
+def test_select_neighborhood_static_shapes():
+    poses = template_poses(500)
+    prev = np.asarray(poses[42])
+    sel, idx, mask = select_neighborhood(poses, jnp.asarray(prev), 15.0, 64)
+    assert sel.shape == (64, 4, 4) and mask.shape == (64,)
+    # The nearest pose is the query itself.
+    assert int(idx[0]) == 42
+    d = np.asarray(geodesic_distance(sel[:, :3, :3], jnp.asarray(prev[:3, :3])))
+    m = np.asarray(mask)
+    assert (d[m][1:] < 15.0).all()
+    # Distances sorted ascending among selected.
+    assert (np.diff(d) >= -1e-3).all()
+
+
+@pytest.fixture(scope="module")
+def setup():
+    fe = DinoFeatureExtractor(CFG)
+    feature_fn = lambda imgs: fe(imgs, layer=2, feature_type="patch")
+    renderer = TemplateRenderer(
+        n_poses=16, resolution=RES, max_vertices=256, max_faces=512,
+        settings=RasterSettings(resolution=RES, tile=28, max_faces_per_tile=128),
+    )
+    bank = TemplateBank(feature_fn, renderer, cache_size=2)
+    est = OnlinePoseEstimator(
+        feature_fn, bank, renderer, n_coarse_poses=16, n_fine_poses=200, n_neighbors=32
+    )
+    return renderer, bank, est
+
+
+def test_online_refine_converges_to_true_view(setup):
+    renderer, bank, est = setup
+    mesh = _mesh()
+    pack = bank.get("blob2", mesh)
+    # Ground truth: a pose from the fine grid, perturbed slightly as "prev".
+    gt_pose = np.asarray(est.fine_poses[77])
+    rgb, depth = renderer.render_from_poses(mesh, jnp.asarray(gt_pose)[None])
+    props, masks, boxes = renderer.generate_proposals(rgb, depth)
+
+    out = est.estimate(
+        props[0], masks[0], pack, mesh, renderer.k, boxes[0].astype(jnp.float32),
+        est_scale=mesh.half_extent() * 0.25,
+        prev_pose=jnp.asarray(est.fine_poses[77]),  # neighbourhood centred at GT
+        neighborhood_deg=25.0,
+    )
+    # The refined rotation must be the GT grid pose (self-retrieval within
+    # the neighbourhood).
+    ang = float(geodesic_distance(out.tcos[:1, :3, :3], jnp.asarray(gt_pose[:3, :3]))[0])
+    assert ang < 1e-3, f"refined pose {ang} deg from GT"
+    assert abs(float(out.tcos[0, 2, 3]) - 1.1) < 0.15
+
+
+def test_online_refine_masked_scores(setup):
+    renderer, bank, est = setup
+    mesh = _mesh()
+    pack = bank.get("blob2", mesh)
+    gt_pose = np.asarray(est.fine_poses[10])
+    rgb, depth = renderer.render_from_poses(mesh, jnp.asarray(gt_pose)[None])
+    props, masks, boxes = renderer.generate_proposals(rgb, depth)
+    out = est.estimate(
+        props[0], masks[0], pack, mesh, renderer.k, boxes[0].astype(jnp.float32),
+        est_scale=0.25, prev_pose=jnp.asarray(gt_pose), neighborhood_deg=25.0,
+        mask_scores=True,
+    )
+    ang = float(geodesic_distance(out.tcos[:1, :3, :3], jnp.asarray(gt_pose[:3, :3]))[0])
+    assert ang < 1e-3
+
+
+def test_online_frame0_runs_coarse(setup):
+    renderer, bank, est = setup
+    mesh = _mesh()
+    pack = bank.get("blob2", mesh)
+    rgb, depth = renderer.render(mesh)
+    props, masks, boxes = renderer.generate_proposals(rgb, depth)
+    out = est.estimate(
+        props[2], masks[2], pack, mesh, renderer.k, boxes[2].astype(jnp.float32),
+        est_scale=0.25, prev_pose=None, neighborhood_deg=30.0,
+    )
+    assert out.tcos.shape == (1, 4, 4)
+    assert np.isfinite(np.asarray(out.tcos)).all()
+    assert float(out.scores[0]) > 0
