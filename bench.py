@@ -1,0 +1,84 @@
+"""Round benchmark: coarse 6D-pose inference throughput on one TPU chip.
+
+Measures the static-dataset hot path (reference scripts/dino_inference.py
+per-proposal loop): DINOv2-L/14-reg layer-22 patch features on a 420²
+proposal batch in bf16 + cosine scoring against a 600-view template pack +
+top-k + bbox z-lift — all one jit program.
+
+Prints ONE JSON line {metric, value, unit, vs_baseline}. vs_baseline is the
+ratio against the driver's 10 FPS end-to-end north star
+(/root/repo/BASELINE.md).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 8
+N_VIEWS = 600
+RES = 420
+TARGET_FPS = 10.0
+
+
+def main() -> None:
+    from freepose_tpu.models.dinov2 import VIT_L14_REG, DinoV2, normalize_images, split_tokens
+    from freepose_tpu.pipeline.pose_estimator import score_and_lift
+    from freepose_tpu.pipeline.template_bank import normalize_feats
+    from freepose_tpu.geometry.rotation import template_poses
+
+    import dataclasses
+
+    cfg = dataclasses.replace(VIT_L14_REG, dtype=jnp.bfloat16)
+    model = DinoV2(cfg)
+    rng = np.random.default_rng(0)
+    grid = (RES // cfg.patch_size) ** 2
+
+    proposals = jnp.asarray(rng.random((BATCH, 3, RES, RES)), jnp.bfloat16)
+    params = model.init(
+        jax.random.PRNGKey(0), proposals[:1, :, : cfg.patch_size * 2, : cfg.patch_size * 2]
+    )["params"]
+    feats = rng.normal(size=(N_VIEWS, grid, cfg.hidden_size)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+    feats = jnp.asarray(feats, jnp.bfloat16)
+    pc_mean = jnp.asarray(np.tile([0, 0, 1.1], (N_VIEWS, 1)), jnp.float32)
+    pc_min, pc_max = pc_mean - 0.25, pc_mean + 0.25
+    poses = template_poses(N_VIEWS)
+    k = jnp.array([[600.0, 0, 320], [0, 600, 240], [0, 0, 1]])
+    bboxes = jnp.asarray(rng.random((BATCH, 4)) * 200 + np.array([100, 100, 300, 300]), jnp.float32)
+
+    @jax.jit
+    def step(params, proposals, bboxes):
+        tokens = model.apply({"params": params}, normalize_images(proposals), layer=22)
+        qf = normalize_feats(split_tokens(tokens, cfg.num_registers)["patch"])
+
+        def one(q, bbox):
+            return score_and_lift(feats, q, pc_min, pc_max, pc_mean, poses, k, bbox, jnp.float32(0.15), 3)
+
+        return jax.vmap(one)(qf, bboxes)
+
+    out = jax.block_until_ready(step(params, proposals, bboxes))
+    n_iter = 5
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        out = jax.block_until_ready(step(params, proposals, bboxes))
+    dt = (time.perf_counter() - t0) / n_iter
+    fps = BATCH / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "coarse-pose proposals/s per chip (DINOv2-L@420 + 600-view match + z-lift, bf16)",
+                "value": round(fps, 2),
+                "unit": "proposals/s",
+                "vs_baseline": round(fps / TARGET_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
