@@ -51,7 +51,9 @@ def reject_depth_outliers(
     med = masked_median(z, valid)
     std = masked_std(z, valid)
     dist = jnp.abs(z - med)
-    inlier = valid & (dist < std * std_factor)
+    # <= so that a zero-variance (flat) cloud keeps every point instead of
+    # degenerating to the forced minimum.
+    inlier = valid & (dist <= std * std_factor)
     # Guarantee min_vertices: rank valid points by distance and force-keep the
     # closest ones.
     big = jnp.asarray(jnp.finfo(z.dtype).max, z.dtype)

@@ -100,3 +100,88 @@ def dinov2_from_hub(state_dict: dict, num_layers: int) -> dict:
             "ls2": {"gamma": _t(sd[f"{p}.ls2.gamma"])},
         }
     return params
+
+
+def _clip_layer(sd, p):
+    q = _t(sd[f"{p}.self_attn.q_proj.weight"])
+    k = _t(sd[f"{p}.self_attn.k_proj.weight"])
+    v = _t(sd[f"{p}.self_attn.v_proj.weight"])
+    qb = _t(sd[f"{p}.self_attn.q_proj.bias"])
+    kb = _t(sd[f"{p}.self_attn.k_proj.bias"])
+    vb = _t(sd[f"{p}.self_attn.v_proj.bias"])
+    return {
+        "ln1": _layernorm(sd, f"{p}.layer_norm1"),
+        "qkv": {
+            "kernel": np.concatenate([q, k, v], axis=0).T,
+            "bias": np.concatenate([qb, kb, vb]),
+        },
+        "proj": _dense(sd, f"{p}.self_attn.out_proj"),
+        "ln2": _layernorm(sd, f"{p}.layer_norm2"),
+        "fc1": _dense(sd, f"{p}.mlp.fc1"),
+        "fc2": _dense(sd, f"{p}.mlp.fc2"),
+    }
+
+
+def clip_from_hf(state_dict: dict, vision_layers: int, text_layers: int) -> dict:
+    """HF transformers CLIPModel state dict -> Clip Flax params."""
+    sd = state_dict
+    visual = {
+        "patch_embed": {
+            "kernel": _t(sd["vision_model.embeddings.patch_embedding.weight"]).transpose(2, 3, 1, 0)
+        },
+        "class_embedding": _t(sd["vision_model.embeddings.class_embedding"]),
+        "pos_embed": _t(sd["vision_model.embeddings.position_embedding.weight"]),
+        "ln_pre": _layernorm(sd, "vision_model.pre_layrnorm"),
+        "ln_post": _layernorm(sd, "vision_model.post_layernorm"),
+        "proj": _t(sd["visual_projection.weight"]).T,
+    }
+    for i in range(vision_layers):
+        visual[f"layer{i}"] = _clip_layer(sd, f"vision_model.encoder.layers.{i}")
+    text = {
+        "token_embedding": _t(sd["text_model.embeddings.token_embedding.weight"]),
+        "pos_embed": _t(sd["text_model.embeddings.position_embedding.weight"]),
+        "ln_final": _layernorm(sd, "text_model.final_layer_norm"),
+        "text_proj": _t(sd["text_projection.weight"]).T,
+    }
+    for i in range(text_layers):
+        text[f"layer{i}"] = _clip_layer(sd, f"text_model.encoder.layers.{i}")
+    return {"visual": visual, "text": text}
+
+
+def _open_clip_layer(sd, p):
+    """open_clip resblock (attn.in_proj_weight fused qkv)."""
+    return {
+        "ln1": _layernorm(sd, f"{p}.ln_1"),
+        "qkv": {
+            "kernel": _t(sd[f"{p}.attn.in_proj_weight"]).T,
+            "bias": _t(sd[f"{p}.attn.in_proj_bias"]),
+        },
+        "proj": _dense(sd, f"{p}.attn.out_proj"),
+        "ln2": _layernorm(sd, f"{p}.ln_2"),
+        "fc1": _dense(sd, f"{p}.mlp.c_fc"),
+        "fc2": _dense(sd, f"{p}.mlp.c_proj"),
+    }
+
+
+def clip_from_open_clip(state_dict: dict, vision_layers: int, text_layers: int) -> dict:
+    """open_clip (e.g. ViT-bigG-14 laion2b) state dict -> Clip Flax params."""
+    sd = state_dict
+    visual = {
+        "patch_embed": {"kernel": _t(sd["visual.conv1.weight"]).transpose(2, 3, 1, 0)},
+        "class_embedding": _t(sd["visual.class_embedding"]),
+        "pos_embed": _t(sd["visual.positional_embedding"]),
+        "ln_pre": _layernorm(sd, "visual.ln_pre"),
+        "ln_post": _layernorm(sd, "visual.ln_post"),
+        "proj": _t(sd["visual.proj"]),
+    }
+    for i in range(vision_layers):
+        visual[f"layer{i}"] = _open_clip_layer(sd, f"visual.transformer.resblocks.{i}")
+    text = {
+        "token_embedding": _t(sd["token_embedding.weight"]),
+        "pos_embed": _t(sd["positional_embedding"]),
+        "ln_final": _layernorm(sd, "ln_final"),
+        "text_proj": _t(sd["text_projection"]),
+    }
+    for i in range(text_layers):
+        text[f"layer{i}"] = _open_clip_layer(sd, f"transformer.resblocks.{i}")
+    return {"visual": visual, "text": text}

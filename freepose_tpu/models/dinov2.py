@@ -134,7 +134,7 @@ class DinoFeatureExtractor:
         if params is None:
             dummy = jnp.zeros((1, 3, config.patch_size * 2, config.patch_size * 2), config.dtype)
             params = self.model.init(jax.random.PRNGKey(seed), dummy)["params"]
-        self.params = params
+        self.params = jax.tree.map(jnp.asarray, params)
 
     @partial(jax.jit, static_argnames=("self", "layer", "feature_type"))
     def __call__(self, images: jax.Array, layer: int = 22, feature_type: str = "patch") -> jax.Array:
