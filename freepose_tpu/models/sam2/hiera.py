@@ -1,0 +1,271 @@
+"""Hiera trunk + FPN neck for SAM2, in Flax.
+
+TPU-native re-implementation of the vendored SAM2 image encoder (reference
+segment-anything-2/sam2/modeling/backbones/hieradet.py:1-291 and
+image_encoder.py:45-133): hierarchical ViT with windowed attention, global
+attention at selected blocks, max-pool query downsampling at stage changes,
+windowed positional embeddings, and a top-down FPN neck producing the
+[256-d] feature pyramid with sine position encodings.
+
+All shapes static per input resolution; window partitioning is pure reshapes
+(XLA-fuses); attention is dense bf16-friendly matmuls on the MXU.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class HieraConfig:
+    embed_dim: int = 144  # hiera-large (sam2_hiera_l.yaml)
+    blocks_per_stage: tuple = (2, 6, 36, 4)
+    embed_dim_per_stage: tuple = (144, 288, 576, 1152)
+    heads_per_stage: tuple = (2, 4, 8, 16)
+    window_size_per_stage: tuple = (8, 4, 16, 8)
+    global_attention_blocks: tuple = (23, 33, 43)
+    window_pos_bg_size: tuple = (7, 7)
+    query_stride: int = 2
+    num_query_pool_stages: int = 3
+    mlp_ratio: float = 4.0
+    patch_kernel: int = 7
+    patch_stride: int = 4
+    patch_padding: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+
+HIERA_L = HieraConfig()
+HIERA_TEST = HieraConfig(
+    embed_dim=8,
+    blocks_per_stage=(1, 1, 1, 1),
+    embed_dim_per_stage=(8, 16, 32, 64),
+    heads_per_stage=(1, 2, 4, 8),
+    window_size_per_stage=(4, 2, 2, 2),
+    global_attention_blocks=(2,),
+    window_pos_bg_size=(2, 2),
+)
+
+
+def window_partition(x: jax.Array, ws: int) -> tuple[jax.Array, tuple[int, int]]:
+    """[B, H, W, C] -> [B*nw, ws, ws, C] with zero padding."""
+    b, h, w, c = x.shape
+    pad_h = (ws - h % ws) % ws
+    pad_w = (ws - w % ws) % ws
+    x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    hp, wp = h + pad_h, w + pad_w
+    x = x.reshape(b, hp // ws, ws, wp // ws, ws, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, ws, ws, c), (hp, wp)
+
+
+def window_unpartition(windows: jax.Array, ws: int, pad_hw: tuple[int, int], hw: tuple[int, int]) -> jax.Array:
+    hp, wp = pad_hw
+    h, w = hw
+    b = windows.shape[0] // ((hp // ws) * (wp // ws))
+    x = windows.reshape(b, hp // ws, wp // ws, ws, ws, -1).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, hp, wp, -1)[:, :h, :w]
+
+
+def _max_pool2(x: jax.Array, stride: int) -> jax.Array:
+    """[B, H, W, C] max pool kernel=stride (floor mode)."""
+    b, h, w, c = x.shape
+    h2, w2 = h // stride, w // stride
+    x = x[:, : h2 * stride, : w2 * stride]
+    x = x.reshape(b, h2, stride, w2, stride, c)
+    return x.max(axis=(2, 4))
+
+
+class MultiScaleAttention(nn.Module):
+    dim_out: int
+    num_heads: int
+    query_stride: int | None
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, _ = x.shape
+        head_dim = self.dim_out // self.num_heads
+        qkv = nn.Dense(3 * self.dim_out, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        if self.query_stride:
+            q = q.reshape(b, h, w, self.num_heads * head_dim)
+            q = _max_pool2(q, self.query_stride)
+            h, w = q.shape[1], q.shape[2]
+            q = q.reshape(b, h * w, self.num_heads, head_dim)
+        logits = jnp.einsum(
+            "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+        ) * (head_dim**-0.5)
+        weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", weights, v).reshape(b, h, w, self.dim_out)
+        return nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(out)
+
+
+class FeedForward(nn.Module):
+    hidden: int
+    out: int
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        return nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
+
+
+class MultiScaleBlock(nn.Module):
+    dim: int
+    dim_out: int
+    num_heads: int
+    window_size: int  # 0 = global attention
+    query_stride: int | None
+    mlp_ratio: float
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        residual = x
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        if self.dim != self.dim_out:
+            proj = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(h)
+            residual = _max_pool2(proj, self.query_stride) if self.query_stride else proj
+
+        ws = self.window_size
+        hw = (h.shape[1], h.shape[2])
+        pad_hw = hw
+        if ws > 0:
+            h, pad_hw = window_partition(h, ws)
+        h = MultiScaleAttention(
+            self.dim_out, self.num_heads, self.query_stride, self.dtype, name="attn"
+        )(h)
+        if self.query_stride:
+            ws = ws // self.query_stride
+            out_hw = (residual.shape[1], residual.shape[2])
+            pad_h = (ws - out_hw[0] % ws) % ws if ws > 0 else 0
+            pad_w = (ws - out_hw[1] % ws) % ws if ws > 0 else 0
+            pad_hw = (out_hw[0] + pad_h, out_hw[1] + pad_w)
+            hw = out_hw
+        if self.window_size > 0:
+            h = window_unpartition(h, ws, pad_hw, hw)
+        x = residual + h
+        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        return x + FeedForward(
+            int(self.dim_out * self.mlp_ratio), self.dim_out, self.dtype, name="mlp"
+        )(h)
+
+
+class Hiera(nn.Module):
+    """Returns the per-stage feature maps [B, H_s, W_s, C_s] (stage ends)."""
+
+    config: HieraConfig
+
+    @nn.compact
+    def __call__(self, pixels: jax.Array) -> list[jax.Array]:
+        cfg = self.config
+        x = nn.Conv(
+            cfg.embed_dim,
+            (cfg.patch_kernel, cfg.patch_kernel),
+            strides=(cfg.patch_stride, cfg.patch_stride),
+            padding=cfg.patch_padding,
+            dtype=cfg.dtype,
+            name="patch_embed",
+        )(pixels.transpose(0, 2, 3, 1))
+        h, w = x.shape[1], x.shape[2]
+
+        # Windowed positional embedding: background embedding bicubically
+        # resized to (h, w) plus a tiled window embedding
+        # (reference hieradet.py:265-273).
+        pos_bg = self.param(
+            "pos_embed", nn.initializers.zeros, (1, *cfg.window_pos_bg_size, cfg.embed_dim)
+        )
+        ws0 = cfg.window_size_per_stage[0]
+        pos_win = self.param("pos_embed_window", nn.initializers.zeros, (1, ws0, ws0, cfg.embed_dim))
+        from freepose_tpu.ops.sampling import resize_bicubic_torch
+
+        # NHWC -> NCHW for the separable bicubic over (H, W), then back.
+        pos = resize_bicubic_torch(pos_bg.transpose(0, 3, 1, 2), (h, w)).transpose(0, 2, 3, 1)
+        pos = pos + jnp.tile(pos_win, (1, h // ws0, w // ws0, 1))
+        x = x + pos.astype(cfg.dtype)
+
+        outputs = []
+        total_idx = 0
+        for stage_idx, n_blocks in enumerate(cfg.blocks_per_stage):
+            for block_idx in range(n_blocks):
+                first = stage_idx > 0 and block_idx == 0
+                dim = cfg.embed_dim_per_stage[stage_idx - 1] if first else cfg.embed_dim_per_stage[stage_idx]
+                ws = cfg.window_size_per_stage[stage_idx - 1] if first else cfg.window_size_per_stage[stage_idx]
+                if total_idx in cfg.global_attention_blocks:
+                    ws = 0
+                q_stride = (
+                    cfg.query_stride
+                    if first and stage_idx <= cfg.num_query_pool_stages
+                    else None
+                )
+                x = MultiScaleBlock(
+                    dim=dim,
+                    dim_out=cfg.embed_dim_per_stage[stage_idx],
+                    num_heads=cfg.heads_per_stage[stage_idx],
+                    window_size=ws,
+                    query_stride=q_stride,
+                    mlp_ratio=cfg.mlp_ratio,
+                    dtype=cfg.dtype,
+                    name=f"block{total_idx}",
+                )(x)
+                total_idx += 1
+            outputs.append(x)
+        return outputs
+
+
+def sine_position_encoding(shape: tuple[int, int], dim: int, temperature: float = 10000.0) -> jnp.ndarray:
+    """[H, W, dim] normalized sine/cosine position features (reference
+    sam2/modeling/position_encoding.py PositionEmbeddingSine, normalize=True).
+    """
+    h, w = shape
+    num_pos_feats = dim // 2
+    y = jnp.arange(1, h + 1, dtype=jnp.float32)[:, None].repeat(w, 1)
+    x = jnp.arange(1, w + 1, dtype=jnp.float32)[None, :].repeat(h, 0)
+    eps = 1e-6
+    y = y / (h + eps) * 2 * jnp.pi
+    x = x / (w + eps) * 2 * jnp.pi
+    dim_t = jnp.arange(num_pos_feats, dtype=jnp.float32)
+    dim_t = temperature ** (2 * (dim_t // 2) / num_pos_feats)
+    pos_x = x[:, :, None] / dim_t
+    pos_y = y[:, :, None] / dim_t
+    pos_x = jnp.stack([jnp.sin(pos_x[:, :, 0::2]), jnp.cos(pos_x[:, :, 1::2])], axis=3).reshape(h, w, -1)
+    pos_y = jnp.stack([jnp.sin(pos_y[:, :, 0::2]), jnp.cos(pos_y[:, :, 1::2])], axis=3).reshape(h, w, -1)
+    return jnp.concatenate([pos_y, pos_x], axis=-1)
+
+
+class FpnNeck(nn.Module):
+    """Top-down FPN over hiera stage outputs -> list (high→low res) of
+    ([B, H, W, fpn_dim] features, [H, W, fpn_dim] sine positions)."""
+
+    fpn_dim: int = 256
+    top_down_levels: Sequence[int] = (2, 3)
+    num_feature_levels: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, stage_feats: list[jax.Array]):
+        n = len(stage_feats) - 1
+        feats: list = [None] * (n + 1)
+        prev = None
+        for i in range(n, -1, -1):
+            lateral = nn.Conv(self.fpn_dim, (1, 1), dtype=self.dtype, name=f"conv{n - i}")(stage_feats[i])
+            if i in self.top_down_levels and i != n and prev is not None:
+                b, h, w, c = prev.shape
+                up = jax.image.resize(prev.astype(jnp.float32), (b, h * 2, w * 2, c), method="nearest")
+                prev = lateral + up.astype(lateral.dtype)
+            else:
+                prev = lateral
+            feats[i] = prev
+        # Keep the num_feature_levels highest-resolution levels, ordered
+        # high-res -> low-res (stride 4, 8, 16); the stride-16 level is the
+        # main image embedding.
+        chosen = feats[: self.num_feature_levels]
+        pos = [sine_position_encoding(f.shape[1:3], self.fpn_dim) for f in chosen]
+        return chosen, pos

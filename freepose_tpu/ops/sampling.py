@@ -129,3 +129,43 @@ def roi_align(
         return vals.mean(axis=(2, 4))
 
     return jax.vmap(one_box)(boxes.astype(jnp.float32))
+
+
+def _cubic_kernel(t: jax.Array, a: float = -0.75) -> jax.Array:
+    """Keys cubic convolution kernel (torch's bicubic uses a = -0.75)."""
+    at = jnp.abs(t)
+    at2, at3 = at * at, at * at * at
+    w1 = (a + 2) * at3 - (a + 3) * at2 + 1.0
+    w2 = a * at3 - 5 * a * at2 + 8 * a * at - 4 * a
+    return jnp.where(at <= 1.0, w1, jnp.where(at < 2.0, w2, 0.0))
+
+
+def _bicubic_axis_weights(in_size: int, out_size: int):
+    """Sample positions and 4-tap weights for one axis (align_corners=False,
+    no antialias — matching torch F.interpolate bicubic upsampling)."""
+    scale = in_size / out_size
+    dst = jnp.arange(out_size, dtype=jnp.float32)
+    src = (dst + 0.5) * scale - 0.5
+    base = jnp.floor(src).astype(jnp.int32)
+    frac = src - base
+    taps = jnp.arange(-1, 3)
+    idx = jnp.clip(base[:, None] + taps[None, :], 0, in_size - 1)  # [out, 4]
+    w = _cubic_kernel(frac[:, None] - taps[None, :].astype(jnp.float32))  # [out, 4]
+    return idx, w
+
+
+def resize_bicubic_torch(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """Bicubic resize of [..., H, W] matching torch F.interpolate
+    (mode='bicubic', align_corners=False, antialias=False). Used for the
+    windowed positional-embedding interpolation in the SAM2 Hiera trunk
+    (reference hieradet.py:265-273), where sub-1e-3 parity matters."""
+    h, w = img.shape[-2], img.shape[-1]
+    oh, ow = out_hw
+    yi, yw = _bicubic_axis_weights(h, oh)
+    xi, xw = _bicubic_axis_weights(w, ow)
+    img_f = img.astype(jnp.float32)
+    # Gather 4 rows per output row: [..., oh, 4, W] -> weighted sum -> [..., oh, W]
+    g = img_f[..., yi, :]  # [..., oh, 4, W]
+    rows = jnp.einsum("...otw,ot->...ow", g, yw)
+    g2 = rows[..., :, xi]  # [..., oh, ow, 4]
+    return jnp.einsum("...owt,wt->...ow", g2, xw)
