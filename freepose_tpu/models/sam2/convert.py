@@ -47,3 +47,85 @@ def hiera_from_hf(sd: dict, total_blocks: int, prefix: str = "backbone") -> dict
 
 def fpn_neck_from_hf(sd: dict, n_convs: int, prefix: str = "neck") -> dict:
     return {f"conv{j}": _conv(sd, f"{prefix}.convs.{j}") for j in range(n_convs)}
+
+
+def _ffn(sd, p, n_layers):
+    out = {"proj_in": _dense(sd, f"{p}.proj_in"), "proj_out": _dense(sd, f"{p}.proj_out")}
+    for i in range(n_layers - 2):
+        out[f"layer{i}"] = _dense(sd, f"{p}.layers.{i}")
+    return out
+
+
+def _decoder_attn(sd, p):
+    return {
+        "q": _dense(sd, f"{p}.q_proj"),
+        "k": _dense(sd, f"{p}.k_proj"),
+        "v": _dense(sd, f"{p}.v_proj"),
+        "out": _dense(sd, f"{p}.o_proj"),
+    }
+
+
+def _convT(sd, p):
+    return {
+        "kernel": _t(sd[f"{p}.weight"]).transpose(2, 3, 0, 1),
+        "bias": _t(sd[f"{p}.bias"]),
+    }
+
+
+def prompt_encoder_from_hf(sd: dict, prefix: str = "prompt_encoder") -> dict:
+    return {
+        "pe_matrix": _t(sd[f"{prefix}.shared_embedding.positional_embedding"]),
+        "point_embed": _t(sd[f"{prefix}.point_embed.weight"]),
+        "not_a_point": _t(sd[f"{prefix}.not_a_point_embed.weight"]),
+        "no_mask": _t(sd[f"{prefix}.no_mask_embed.weight"]),
+        "mask_embed": {
+            "conv1": _conv(sd, f"{prefix}.mask_embed.conv1"),
+            "ln1": _ln(sd, f"{prefix}.mask_embed.layer_norm1"),
+            "conv2": _conv(sd, f"{prefix}.mask_embed.conv2"),
+            "ln2": _ln(sd, f"{prefix}.mask_embed.layer_norm2"),
+            "conv3": _conv(sd, f"{prefix}.mask_embed.conv3"),
+        },
+    }
+
+
+def mask_decoder_from_hf(sd: dict, num_layers: int = 2, num_mask_tokens: int = 4, prefix: str = "mask_decoder") -> dict:
+    params = {
+        "obj_score_token": _t(sd[f"{prefix}.obj_score_token.weight"]),
+        "iou_token": _t(sd[f"{prefix}.iou_token.weight"]),
+        "mask_tokens": _t(sd[f"{prefix}.mask_tokens.weight"]),
+        "ln_final": _ln(sd, f"{prefix}.transformer.layer_norm_final_attn"),
+        "final_t2i": _decoder_attn(sd, f"{prefix}.transformer.final_attn_token_to_image"),
+        "upscale1": _convT(sd, f"{prefix}.upscale_conv1"),
+        "upscale2": _convT(sd, f"{prefix}.upscale_conv2"),
+        "upscale_ln": _ln(sd, f"{prefix}.upscale_layer_norm"),
+        "iou_head": _ffn(sd, f"{prefix}.iou_prediction_head", 3),
+        "obj_head": _ffn(sd, f"{prefix}.pred_obj_score_head", 3),
+    }
+    for i in range(num_layers):
+        p = f"{prefix}.transformer.layers.{i}"
+        params[f"block{i}"] = {
+            "self_attn": _decoder_attn(sd, f"{p}.self_attn"),
+            "ln1": _ln(sd, f"{p}.layer_norm1"),
+            "cross_t2i": _decoder_attn(sd, f"{p}.cross_attn_token_to_image"),
+            "ln2": _ln(sd, f"{p}.layer_norm2"),
+            "mlp": _ffn(sd, f"{p}.mlp", 2),
+            "ln3": _ln(sd, f"{p}.layer_norm3"),
+            "cross_i2t": _decoder_attn(sd, f"{p}.cross_attn_image_to_token"),
+            "ln4": _ln(sd, f"{p}.layer_norm4"),
+        }
+    for i in range(num_mask_tokens):
+        params[f"hyper{i}"] = _ffn(sd, f"{prefix}.output_hypernetworks_mlps.{i}", 3)
+    return params
+
+
+def sam2_image_model_from_hf(sd: dict, total_blocks: int, n_convs: int = 4, decoder_layers: int = 2) -> dict:
+    """Full HF Sam2Model state dict -> Sam2ImageModel Flax params."""
+    return {
+        "backbone": hiera_from_hf(sd, total_blocks, prefix="vision_encoder.backbone"),
+        "neck": fpn_neck_from_hf(sd, n_convs, prefix="vision_encoder.neck"),
+        "prompt_encoder": prompt_encoder_from_hf(sd),
+        "decoder": mask_decoder_from_hf(sd, decoder_layers),
+        "no_memory_embedding": _t(sd["no_memory_embedding"]),
+        "conv_s0": _conv(sd, "mask_decoder.conv_s0"),
+        "conv_s1": _conv(sd, "mask_decoder.conv_s1"),
+    }
