@@ -129,3 +129,49 @@ def sam2_image_model_from_hf(sd: dict, total_blocks: int, n_convs: int = 4, deco
         "conv_s0": _conv(sd, "mask_decoder.conv_s0"),
         "conv_s1": _conv(sd, "mask_decoder.conv_s1"),
     }
+
+
+def _rope_attn(sd, p):
+    return {
+        "q": _dense(sd, f"{p}.q_proj"),
+        "k": _dense(sd, f"{p}.k_proj"),
+        "v": _dense(sd, f"{p}.v_proj"),
+        "out": _dense(sd, f"{p}.o_proj"),
+    }
+
+
+def memory_attention_from_hf(sd: dict, num_layers: int = 4, prefix: str = "memory_attention") -> dict:
+    params = {"ln_final": _ln(sd, f"{prefix}.layer_norm")}
+    for i in range(num_layers):
+        p = f"{prefix}.layers.{i}"
+        params[f"layer{i}"] = {
+            "ln1": _ln(sd, f"{p}.layer_norm1"),
+            "self_attn": _rope_attn(sd, f"{p}.self_attn"),
+            "ln2": _ln(sd, f"{p}.layer_norm2"),
+            "cross_attn": _rope_attn(sd, f"{p}.cross_attn_image"),
+            "ln3": _ln(sd, f"{p}.layer_norm3"),
+            "fc1": _dense(sd, f"{p}.linear1"),
+            "fc2": _dense(sd, f"{p}.linear2"),
+        }
+    return params
+
+
+def memory_encoder_from_hf(sd: dict, n_down_layers: int = 4, n_fuser: int = 2, prefix: str = "memory_encoder") -> dict:
+    params = {
+        "feature_proj": _conv(sd, f"{prefix}.feature_projection"),
+        "out_proj": _conv(sd, f"{prefix}.projection"),
+        "mask_down": {"final_conv": _conv(sd, f"{prefix}.mask_downsampler.final_conv")},
+    }
+    for i in range(n_down_layers):
+        params["mask_down"][f"conv{i}"] = _conv(sd, f"{prefix}.mask_downsampler.layers.{i}.conv")
+        params["mask_down"][f"ln{i}"] = _ln(sd, f"{prefix}.mask_downsampler.layers.{i}.layer_norm")
+    for i in range(n_fuser):
+        p = f"{prefix}.memory_fuser.layers.{i}"
+        params[f"fuser{i}"] = {
+            "dwconv": _conv(sd, f"{p}.depthwise_conv"),
+            "ln": _ln(sd, f"{p}.layer_norm"),
+            "pw1": _dense(sd, f"{p}.pointwise_conv1"),
+            "pw2": _dense(sd, f"{p}.pointwise_conv2"),
+            "scale": _t(sd[f"{p}.scale"]),
+        }
+    return params
