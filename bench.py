@@ -12,15 +12,17 @@ ratio against the driver's 10 FPS end-to-end north star
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-BATCH = 8
-N_VIEWS = 600
-RES = 420
+TINY = bool(os.environ.get("FREEPOSE_BENCH_TINY"))
+BATCH = 2 if TINY else 8
+N_VIEWS = 32 if TINY else 600
+RES = 56 if TINY else 420
 TARGET_FPS = 10.0
 
 
@@ -32,7 +34,14 @@ def main() -> None:
 
     import dataclasses
 
-    cfg = dataclasses.replace(VIT_L14_REG, dtype=jnp.bfloat16)
+    if TINY:
+        from freepose_tpu.models.dinov2 import DinoV2Config
+
+        cfg = DinoV2Config(hidden_size=64, num_layers=2, num_heads=4, image_size=56, dtype=jnp.bfloat16)
+        layer = 2
+    else:
+        cfg = dataclasses.replace(VIT_L14_REG, dtype=jnp.bfloat16)
+        layer = 22
     model = DinoV2(cfg)
     rng = np.random.default_rng(0)
     grid = (RES // cfg.patch_size) ** 2
@@ -52,7 +61,7 @@ def main() -> None:
 
     @jax.jit
     def step(params, proposals, bboxes):
-        tokens = model.apply({"params": params}, normalize_images(proposals), layer=22)
+        tokens = model.apply({"params": params}, normalize_images(proposals), layer=layer)
         qf = normalize_feats(split_tokens(tokens, cfg.num_registers)["patch"])
 
         def one(q, bbox):

@@ -175,3 +175,22 @@ def memory_encoder_from_hf(sd: dict, n_down_layers: int = 4, n_fuser: int = 2, p
             "scale": _t(sd[f"{p}.scale"]),
         }
     return params
+
+
+def sam2_video_model_from_hf(sd: dict, total_blocks: int, mem_layers: int = 4, decoder_layers: int = 2) -> dict:
+    """Full HF Sam2VideoModel state dict -> Sam2VideoModel Flax params."""
+    params = {
+        "image": sam2_image_model_from_hf(sd, total_blocks, decoder_layers=decoder_layers),
+        "memory_attention": memory_attention_from_hf(sd, mem_layers),
+        "memory_encoder": memory_encoder_from_hf(sd),
+        "memory_temporal_pos": _t(sd["memory_temporal_positional_encoding"]),
+        "no_object_pointer": _t(sd["no_object_pointer"]),
+        "no_memory_pos": _t(sd["no_memory_positional_encoding"]),
+        "obj_ptr_proj": _ffn(sd, "object_pointer_proj", 3),
+        "mask_downsample": _conv(sd, "mask_downsample"),
+    }
+    if "temporal_positional_encoding_projection_layer.weight" in sd:
+        params["ptr_tpos_proj"] = _dense(sd, "temporal_positional_encoding_projection_layer")
+    if "occlusion_spatial_embedding_parameter" in sd:
+        params["occlusion_embedding"] = _t(sd["occlusion_spatial_embedding_parameter"])
+    return params
