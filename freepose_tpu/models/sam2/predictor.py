@@ -1,0 +1,217 @@
+"""SAM2 predictors: image (set_image/predict) and video (init/add/propagate).
+
+API counterparts of the vendored predictors (reference
+segment-anything-2/sam2/sam2_image_predictor.py:83-463 and
+sam2_video_predictor.py:40-957), TPU-native:
+
+  * images resize+normalize on device; the backbone pyramid is cached per
+    image/frame and every decode is one jit call;
+  * video tracking runs ALL objects per frame in one vmapped track_step over
+    the stacked ObjectState pytree (the reference loops objects serially,
+    sam2_video_predictor.py:658);
+  * box prompts become 2 corner points with labels (2, 3) like the reference
+    video predictor (sam2_video_predictor.py:167-307).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from freepose_tpu.models.sam2.model import Sam2Config, Sam2ImageModel, sam2_normalize
+from freepose_tpu.models.sam2.video import ObjectState, Sam2VideoConfig, Sam2VideoModel, init_object_state
+from freepose_tpu.ops.sampling import resize_bilinear
+
+
+def prepare_image(image: jax.Array, size: int) -> jax.Array:
+    """[H, W, 3] uint8/float -> [1, 3, size, size] normalized."""
+    img = image.astype(jnp.float32)
+    if image.dtype == jnp.uint8:
+        img = img / 255.0
+    chw = img.transpose(2, 0, 1)
+    resized = resize_bilinear(chw, (size, size))
+    return sam2_normalize(resized[None])
+
+
+def scale_coords(coords: jax.Array, orig_hw: tuple[int, int], size: int) -> jax.Array:
+    """Pixel coords in the original image -> model input coords."""
+    h, w = orig_hw
+    scale = jnp.asarray([size / w, size / h], coords.dtype)
+    return coords * scale
+
+
+class Sam2ImagePredictor:
+    def __init__(self, config: Sam2Config, params, image_size: int = 1024):
+        self.model = Sam2ImageModel(config)
+        self.params = jax.tree.map(jnp.asarray, params)
+        self.image_size = image_size
+        self._pyramid = None
+        self._orig_hw = None
+
+        @jax.jit
+        def _embed(params, pixels):
+            return self.model.apply({"params": params}, pixels, method=Sam2ImageModel.embed_image)
+
+        @partial(jax.jit, static_argnames=("multimask",))
+        def _decode(params, pyramid, points, labels, boxes, multimask):
+            return self.model.apply(
+                {"params": params}, pyramid, points=points, labels=labels, boxes=boxes,
+                multimask_output=multimask, method=Sam2ImageModel.decode_masks,
+            )
+
+        self._embed_fn = _embed
+        self._decode_fn = _decode
+
+    def set_image(self, image: jax.Array) -> None:
+        self._orig_hw = (int(image.shape[0]), int(image.shape[1]))
+        pixels = prepare_image(jnp.asarray(image), self.image_size)
+        self._pyramid, _ = self._embed_fn(self.params, pixels)
+
+    def predict(
+        self,
+        point_coords: np.ndarray | None = None,
+        point_labels: np.ndarray | None = None,
+        box: np.ndarray | None = None,
+        multimask_output: bool = True,
+    ):
+        """Returns (masks [P, M, H, W] bool at original res, iou [P, M],
+        low_res_logits [P, M, g, g])."""
+        if self._pyramid is None:
+            raise RuntimeError("call set_image first")
+        pts = labels = boxes = None
+        if point_coords is not None:
+            pts = scale_coords(jnp.asarray(point_coords, jnp.float32), self._orig_hw, self.image_size)
+            pts = pts.reshape(1, -1, pts.shape[-2] if pts.ndim > 2 else pts.shape[0], 2)
+            labels = jnp.asarray(point_labels, jnp.int32).reshape(1, pts.shape[1], -1)
+        if box is not None:
+            b = jnp.asarray(box, jnp.float32).reshape(1, -1, 4)
+            bx = scale_coords(b.reshape(1, -1, 2, 2), self._orig_hw, self.image_size)
+            boxes = bx.reshape(1, -1, 4)
+        masks, iou, _, obj = self._decode_fn(self.params, self._pyramid, pts, labels, boxes, multimask_output)
+        logits = masks[0]  # [P, M, g, g]
+        full = resize_bilinear(logits, self._orig_hw)
+        return np.asarray(full > 0), np.asarray(iou[0]), np.asarray(logits)
+
+
+class Sam2VideoPredictor:
+    """Streaming multi-object video tracker with a batched functional state."""
+
+    def __init__(self, config: Sam2VideoConfig, params, max_objects: int = 8):
+        self.config = config
+        self.model = Sam2VideoModel(config)
+        self.params = jax.tree.map(jnp.asarray, params)
+        self.max_objects = max_objects
+
+        @jax.jit
+        def _embed(params, pixels):
+            return self.model.apply({"params": params}, pixels, method=Sam2VideoModel.embed_frame)
+
+        def _step(params, state, pyramid, raw_s2, pos_s2, frame_idx, num_frames, points, labels, is_init):
+            return self.model.apply(
+                {"params": params}, state=state, pyramid=pyramid, raw_s2=raw_s2, pos_s2=pos_s2,
+                frame_idx=frame_idx, num_frames=num_frames, points=points, labels=labels,
+                is_init=is_init, method=Sam2VideoModel.track_step,
+            )
+
+        # vmap over objects: state + prompts are per-object, frame shared.
+        self._init_step = jax.jit(
+            jax.vmap(partial(_step, is_init=True), in_axes=(None, 0, None, None, None, None, None, 0, 0))
+        )
+        self._track_step = jax.jit(
+            jax.vmap(partial(_step, points=None, labels=None, is_init=False),
+                     in_axes=(None, 0, None, None, None, None, None))
+        )
+        self._embed_fn = _embed
+
+    # -------------------------------------------------------------- #
+    def init_state(self, frames: np.ndarray):
+        """frames: [T, H, W, 3] uint8/float. Returns an inference dict."""
+        t, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+        return {
+            "frames": frames,
+            "orig_hw": (h, w),
+            "num_frames": t,
+            "states": None,  # stacked ObjectState, created on first add
+            "n_objects": 0,
+            "obj_ids": [],
+            "prompts": {},  # obj_idx -> (frame_idx, points, labels)
+            "pyramid_cache": {},
+        }
+
+    def _frame_pyramid(self, state, frame_idx: int):
+        cache = state["pyramid_cache"]
+        if frame_idx not in cache:
+            pixels = prepare_image(jnp.asarray(state["frames"][frame_idx]), self.config.image_size)
+            cache.clear()  # single-frame LRU like the reference (:788-818)
+            cache[frame_idx] = self._embed_fn(self.params, pixels)
+        return cache[frame_idx]
+
+    def add_new_points_or_box(
+        self,
+        state,
+        frame_idx: int,
+        obj_id: int,
+        points: np.ndarray | None = None,
+        labels: np.ndarray | None = None,
+        box: np.ndarray | None = None,
+    ):
+        """Register an object with its prompt (video tracking starts at this
+        frame). Box prompts become 2 corner points labelled (2, 3)."""
+        h, w = state["orig_hw"]
+        size = self.config.image_size
+        if box is not None:
+            pts = np.asarray(box, np.float64).reshape(2, 2)
+            pts = pts * np.array([size / w, size / h])
+            lbl = np.array([2, 3], np.int32)
+        else:
+            pts = np.asarray(points, np.float64).reshape(-1, 2) * np.array([size / w, size / h])
+            lbl = np.asarray(labels, np.int32).reshape(-1)
+        cap = self.config.max_point_prompts
+        pad = cap - pts.shape[0]
+        pts = np.pad(pts, ((0, pad), (0, 0)))
+        lbl = np.pad(lbl, (0, pad), constant_values=-10)  # -10 = padding points
+        state["obj_ids"].append(obj_id)
+        state["prompts"][len(state["obj_ids"]) - 1] = (frame_idx, pts.astype(np.float32), lbl)
+        state["n_objects"] = len(state["obj_ids"])
+        return state
+
+    def propagate_in_video(self, state, start_frame_idx: int = 0, max_frames: int | None = None):
+        """Generator over frames -> (frame_idx, obj_ids, low_res_masks
+        [N, g4, g4], high_res_masks [N, H, W] at ORIGINAL resolution)."""
+        n = state["n_objects"]
+        if n == 0:
+            raise ValueError("no objects added")
+        num_frames = state["num_frames"]
+        end = num_frames if max_frames is None else min(num_frames, start_frame_idx + max_frames)
+
+        # Stack per-object init prompts (all objects must share the prompt
+        # frame, like the reference pipeline's frame-0 boxes).
+        prompt_frames = {v[0] for v in state["prompts"].values()}
+        if len(prompt_frames) != 1:
+            raise NotImplementedError("all objects must be prompted on the same frame")
+        prompt_frame = prompt_frames.pop()
+
+        states = jax.tree.map(
+            lambda *xs: jnp.stack(xs), *[init_object_state(self.config) for _ in range(n)]
+        )
+        # Per-object [B=1, P=1, N, 2] prompts, stacked on a leading vmap axis.
+        points = jnp.asarray(np.stack([state["prompts"][i][1] for i in range(n)]))[:, None, None]
+        labels = jnp.asarray(np.stack([state["prompts"][i][2] for i in range(n)]))[:, None, None]
+
+        for t in range(prompt_frame, end):
+            pyramid, pos = self._frame_pyramid(state, t)
+            raw_s2, pos_s2 = pyramid[2], pos[2]
+            if t == prompt_frame:
+                states, out = self._init_step(
+                    self.params, states, pyramid, raw_s2, pos_s2,
+                    jnp.int32(t), jnp.int32(num_frames), points, labels,
+                )
+            else:
+                states, out = self._track_step(
+                    self.params, states, pyramid, raw_s2, pos_s2, jnp.int32(t), jnp.int32(num_frames)
+                )
+            low = np.asarray(out["pred_masks"][:, 0])  # [N, g4, g4]
+            high = np.asarray(resize_bilinear(out["high_res_masks"][:, 0], state["orig_hw"]))
+            yield t, list(state["obj_ids"]), low, high

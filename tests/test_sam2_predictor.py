@@ -1,0 +1,101 @@
+"""SAM2 predictor orchestration: image predict API + batched video tracking."""
+import jax
+import numpy as np
+import pytest
+
+from freepose_tpu.models.sam2.model import SAM2_TEST, Sam2ImageModel
+from freepose_tpu.models.sam2.predictor import Sam2ImagePredictor, Sam2VideoPredictor
+from freepose_tpu.models.sam2.video import Sam2VideoConfig, Sam2VideoModel, init_object_state
+
+import jax.numpy as jnp
+
+from tests.test_sam2_video import OUR_CFG  # tiny video config (64px)
+
+
+@pytest.fixture(scope="module")
+def image_predictor():
+    model = Sam2ImageModel(SAM2_TEST)
+    img = jnp.zeros((1, 3, 64, 64))
+    params = model.init(jax.random.PRNGKey(0), img)["params"]
+    return Sam2ImagePredictor(SAM2_TEST, params, image_size=64)
+
+
+def test_image_predictor_box(image_predictor):
+    rng = np.random.default_rng(0)
+    image = (rng.random((48, 80, 3)) * 255).astype(np.uint8)  # non-square original
+    image_predictor.set_image(jnp.asarray(image))
+    masks, iou, logits = image_predictor.predict(box=np.array([10, 10, 60, 40]))
+    assert masks.shape == (1, 3, 48, 80)
+    assert iou.shape == (1, 3)
+    assert masks.dtype == bool
+
+
+def test_image_predictor_points(image_predictor):
+    rng = np.random.default_rng(1)
+    image = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    image_predictor.set_image(jnp.asarray(image))
+    masks, iou, _ = image_predictor.predict(
+        point_coords=np.array([[32.0, 32.0]]), point_labels=np.array([1]),
+        multimask_output=False,
+    )
+    assert masks.shape == (1, 1, 64, 64)
+
+
+@pytest.fixture(scope="module")
+def video_predictor():
+    model = Sam2VideoModel(OUR_CFG)
+    state0 = init_object_state(OUR_CFG)
+    pixels = jnp.zeros((1, 3, 64, 64))
+
+    def full(mdl, pixels):
+        pyramid, pos = mdl.embed_frame(pixels)
+        # Exercise both init (SAM prompts) and tracking (memory attention)
+        # paths so every parameter is created.
+        st, _ = mdl.track_step(
+            state0, pyramid, pyramid[2], pos[2], jnp.int32(0), jnp.int32(3),
+            points=jnp.zeros((1, 1, 8, 2)), labels=jnp.full((1, 1, 8), -10, jnp.int32),
+            is_init=True,
+        )
+        return mdl.track_step(st, pyramid, pyramid[2], pos[2], jnp.int32(1), jnp.int32(3))
+
+    variables = model.init(jax.random.PRNGKey(0), pixels, method=full)
+    return Sam2VideoPredictor(OUR_CFG, variables["params"], max_objects=2)
+
+
+def test_video_multi_object_tracking(video_predictor):
+    rng = np.random.default_rng(2)
+    frames = (rng.random((4, 48, 80, 3)) * 255).astype(np.uint8)
+    state = video_predictor.init_state(frames)
+    state = video_predictor.add_new_points_or_box(state, 0, obj_id=7, box=np.array([5, 5, 30, 30]))
+    state = video_predictor.add_new_points_or_box(
+        state, 0, obj_id=9, points=np.array([[50.0, 20.0]]), labels=np.array([1])
+    )
+    outs = list(video_predictor.propagate_in_video(state))
+    assert len(outs) == 4
+    for t, obj_ids, low, high in outs:
+        assert obj_ids == [7, 9]
+        assert low.shape == (2, 16, 16)
+        assert high.shape == (2, 48, 80)
+        assert np.isfinite(low).all()
+
+
+def test_video_vmapped_matches_sequential(video_predictor):
+    """Batched multi-object tracking must equal tracking each object alone."""
+    rng = np.random.default_rng(3)
+    frames = (rng.random((3, 64, 64, 3)) * 255).astype(np.uint8)
+
+    def run(boxes_pts):
+        state = video_predictor.init_state(frames)
+        for i, kw in enumerate(boxes_pts):
+            state = video_predictor.add_new_points_or_box(state, 0, obj_id=i, **kw)
+        return [low for _, _, low, _ in video_predictor.propagate_in_video(state)]
+
+    both = run([
+        dict(box=np.array([5, 5, 30, 30])),
+        dict(points=np.array([[40.0, 40.0]]), labels=np.array([1])),
+    ])
+    solo0 = run([dict(box=np.array([5, 5, 30, 30]))])
+    solo1 = run([dict(points=np.array([[40.0, 40.0]]), labels=np.array([1]))])
+    for t in range(3):
+        np.testing.assert_allclose(both[t][0], solo0[t][0], atol=1e-4)
+        np.testing.assert_allclose(both[t][1], solo1[t][0], atol=1e-4)
