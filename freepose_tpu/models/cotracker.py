@@ -1,0 +1,321 @@
+"""Point tracking across video frames (CoTracker-style), in Flax.
+
+TPU-native equivalent of the torch.hub CoTracker2 the reference uses for
+render-and-compare refinement (reference src/pipeline/estimators/
+tracking_refiner.py:24,160-166: bidirectional tracking of projected mesh
+keypoints over 12-frame intervals, followed by EPnP).
+
+Architecture follows CoTracker (Karaev et al., ECCV 2024): a stride-4 CNN
+feature encoder per frame; per-track features sampled at the query point;
+iterative updates where each track/frame samples a multi-scale local
+correlation neighbourhood around its current estimate and a factorized
+transformer (attention over time, then over tracks) predicts position/feature
+deltas and visibility. All loops are static (n_iters, levels, radius) and the
+whole tracker jits as one program over [T, N] tracks.
+
+A `correlation_tracker` fast path does pure multi-scale correlation argmax
+with subpixel refinement — deterministic, weight-free (the features of a
+random CNN still peak at the true match), useful both as a fallback when no
+trained checkpoint is available and as the test oracle.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class CoTrackerConfig:
+    feat_dim: int = 128
+    stride: int = 4
+    corr_levels: int = 4
+    corr_radius: int = 3
+    hidden_dim: int = 256
+    num_heads: int = 8
+    time_depth: int = 6
+    n_iters: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+
+COTRACKER_TEST = CoTrackerConfig(
+    feat_dim=32, corr_levels=2, corr_radius=2, hidden_dim=64, num_heads=4,
+    time_depth=2, n_iters=2,
+)
+
+
+def bilinear_sample(fmap: jax.Array, coords: jax.Array) -> jax.Array:
+    """fmap [H, W, C], coords [..., 2] (x, y) in fmap pixels -> [..., C].
+    Zero padding outside."""
+    h, w, _ = fmap.shape
+    x = coords[..., 0]
+    y = coords[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+
+    def tap(yy, xx):
+        valid = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+        yy = jnp.clip(yy, 0, h - 1).astype(jnp.int32)
+        xx = jnp.clip(xx, 0, w - 1).astype(jnp.int32)
+        return fmap[yy, xx] * valid[..., None]
+
+    return (
+        tap(y0, x0) * ((1 - wy) * (1 - wx))[..., None]
+        + tap(y0, x0 + 1) * ((1 - wy) * wx)[..., None]
+        + tap(y0 + 1, x0) * (wy * (1 - wx))[..., None]
+        + tap(y0 + 1, x0 + 1) * (wy * wx)[..., None]
+    )
+
+
+class ResidualBlock(nn.Module):
+    dim: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(self.dim, (3, 3), strides=(self.stride, self.stride), dtype=self.dtype, name="conv1")(x)
+        h = nn.GroupNorm(num_groups=8, dtype=self.dtype, name="norm1")(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.dim, (3, 3), dtype=self.dtype, name="conv2")(h)
+        h = nn.GroupNorm(num_groups=8, dtype=self.dtype, name="norm2")(h)
+        if self.stride != 1 or x.shape[-1] != self.dim:
+            x = nn.Conv(self.dim, (1, 1), strides=(self.stride, self.stride), dtype=self.dtype, name="skip")(x)
+        return nn.relu(x + h)
+
+
+class BasicEncoder(nn.Module):
+    """Per-frame CNN -> stride-4 feature map [H/4, W/4, feat_dim]."""
+
+    cfg: CoTrackerConfig
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> jax.Array:
+        c = self.cfg
+        x = images  # [T, H, W, 3]
+        x = nn.Conv(c.feat_dim // 2, (7, 7), strides=(2, 2), dtype=c.dtype, name="stem")(x)
+        x = nn.GroupNorm(num_groups=8, dtype=c.dtype, name="stem_norm")(x)
+        x = nn.relu(x)
+        x = ResidualBlock(c.feat_dim // 2, 1, c.dtype, name="res1")(x)
+        x = ResidualBlock(c.feat_dim, 2, c.dtype, name="res2")(x)
+        x = ResidualBlock(c.feat_dim, 1, c.dtype, name="res3")(x)
+        return nn.Conv(c.feat_dim, (1, 1), dtype=c.dtype, name="out")(x)
+
+
+def corr_pyramid_features(
+    fmaps: jax.Array,  # [T, Hf, Wf, C]
+    track_feats: jax.Array,  # [N, C]
+    coords: jax.Array,  # [T, N, 2] in feature pixels
+    levels: int,
+    radius: int,
+) -> jax.Array:
+    """Multi-scale local correlation neighbourhoods -> [T, N, L*(2r+1)^2]."""
+    outs = []
+    fm = fmaps
+    d = 2 * radius + 1
+    offs = jnp.stack(
+        jnp.meshgrid(jnp.arange(-radius, radius + 1), jnp.arange(-radius, radius + 1)),
+        axis=-1,
+    ).reshape(-1, 2).astype(jnp.float32)  # [d², 2] (x offsets first axis ordering ok)
+
+    for lvl in range(levels):
+        scale = 2**lvl
+        pts = coords / scale  # [T, N, 2]
+        grid = pts[:, :, None, :] + offs[None, None]  # [T, N, d², 2]
+        patches = jax.vmap(bilinear_sample)(fm, grid)  # [T, N, d², C]
+        corr = jnp.einsum("tnpc,nc->tnp", patches, track_feats) / jnp.sqrt(
+            jnp.asarray(patches.shape[-1], jnp.float32)
+        )
+        outs.append(corr)
+        if lvl + 1 < levels:
+            t, h, w, ch = fm.shape
+            fm = fm[:, : h // 2 * 2, : w // 2 * 2].reshape(t, h // 2, 2, w // 2, 2, ch).mean((2, 4))
+    return jnp.concatenate(outs, axis=-1)
+
+
+class UpdateBlock(nn.Module):
+    """One factorized transformer update: attention over time per track, then
+    attention over tracks per frame."""
+
+    cfg: CoTrackerConfig
+
+    @nn.compact
+    def __call__(self, tokens: jax.Array) -> jax.Array:  # [T, N, D]
+        c = self.cfg
+        t, n, d = tokens.shape
+
+        def attn(x, name):
+            h = nn.LayerNorm(dtype=c.dtype, name=f"{name}_ln")(x)
+            h = nn.MultiHeadDotProductAttention(
+                num_heads=c.num_heads, dtype=c.dtype, name=f"{name}_attn"
+            )(h, h)
+            return x + h
+
+        # time attention: tracks as batch
+        x = tokens.transpose(1, 0, 2)  # [N, T, D]
+        x = attn(x, "time")
+        x = x.transpose(1, 0, 2)
+        # track attention: frames as batch
+        x = attn(x, "space")
+        h = nn.LayerNorm(dtype=c.dtype, name="mlp_ln")(x)
+        h = nn.Dense(c.hidden_dim * 4, dtype=c.dtype, name="fc1")(h)
+        h = nn.gelu(h)
+        h = nn.Dense(c.hidden_dim, dtype=c.dtype, name="fc2")(h)
+        return x + h
+
+
+class CoTracker(nn.Module):
+    cfg: CoTrackerConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        video: jax.Array,  # [T, H, W, 3] in [0, 1]
+        queries: jax.Array,  # [N, 2] (x, y) pixel coords on the query frame
+        query_frame: int = 0,
+    ):
+        """-> (tracks [T, N, 2] pixels, visibility [T, N] in [0, 1])."""
+        c = self.cfg
+        t = video.shape[0]
+        n = queries.shape[0]
+        fmaps = BasicEncoder(c, name="encoder")(video)  # [T, Hf, Wf, C]
+
+        q_feat = bilinear_sample(fmaps[query_frame], queries / c.stride)  # [N, C]
+        coords = jnp.tile((queries / c.stride)[None], (t, 1, 1))  # [T, N, 2]
+        vis_logits = jnp.zeros((t, n))
+
+        corr_dim = c.corr_levels * (2 * c.corr_radius + 1) ** 2
+        in_proj = nn.Dense(c.hidden_dim, dtype=c.dtype, name="in_proj")
+        out_head = nn.Dense(3, dtype=c.dtype, name="out_head")  # dx, dy, vis
+        blocks = [UpdateBlock(c, name=f"block{i}") for i in range(c.time_depth)]
+        t_embed = self.param("time_embed", nn.initializers.normal(0.02), (256, c.hidden_dim))
+
+        for _ in range(c.n_iters):
+            corr = corr_pyramid_features(fmaps, q_feat, coords, c.corr_levels, c.corr_radius)
+            rel = coords - coords[query_frame : query_frame + 1]
+            feats_here = jax.vmap(bilinear_sample)(fmaps, coords)  # [T, N, C]
+            tokens = jnp.concatenate(
+                [corr, rel / 16.0, feats_here * 0.1, jnp.tile(q_feat[None] * 0.1, (t, 1, 1))],
+                axis=-1,
+            )
+            x = in_proj(tokens) + t_embed[:t][:, None]
+            for blk in blocks:
+                x = blk(x)
+            out = out_head(x)  # [T, N, 3]
+            coords = coords + out[..., :2]
+            vis_logits = out[..., 2]
+            # The query frame is pinned to the query position.
+            coords = coords.at[query_frame].set(queries / c.stride)
+
+        tracks = coords * c.stride
+        visibility = jax.nn.sigmoid(vis_logits).at[query_frame].set(1.0)
+        return tracks, visibility
+
+
+@partial(jax.jit, static_argnames=("patch_radius", "search"))
+def patch_track_step(
+    img_prev: jax.Array,  # [H, W, 3]
+    img_next: jax.Array,
+    coords: jax.Array,  # [N, 2] pixel coords on prev frame
+    patch_radius: int = 4,
+    search: int = 8,
+):
+    """Weight-free frame-to-frame tracking by ZNCC template matching: match
+    the (2p+1)² image patch around each point against a (2s+1)² window of
+    candidate positions in the next frame, with quadratic subpixel refinement.
+    """
+    p = patch_radius
+    d = 2 * search + 1
+    pr = jnp.arange(-p, p + 1, dtype=jnp.float32)
+    py, px = jnp.meshgrid(pr, pr, indexing="ij")
+    patch_offs = jnp.stack([px.reshape(-1), py.reshape(-1)], axis=-1)  # [p², 2]
+    sr = jnp.arange(-search, search + 1, dtype=jnp.float32)
+    sy, sx = jnp.meshgrid(sr, sr, indexing="ij")
+    search_offs = jnp.stack([sx.reshape(-1), sy.reshape(-1)], axis=-1)  # [d², 2]
+
+    ref = bilinear_sample(img_prev, coords[:, None, :] + patch_offs[None])  # [N, p², 3]
+    ref = ref.reshape(ref.shape[0], -1)
+    ref = ref - ref.mean(axis=-1, keepdims=True)
+    ref = ref / jnp.linalg.norm(ref, axis=-1, keepdims=True).clip(1e-6)
+
+    grid = coords[:, None, None, :] + search_offs[None, :, None, :] + patch_offs[None, None, :, :]
+    cand = jax.vmap(lambda g: bilinear_sample(img_next, g))(grid)  # [N, d², p², 3]
+    cand = cand.reshape(cand.shape[0], cand.shape[1], -1)
+    cand = cand - cand.mean(axis=-1, keepdims=True)
+    cand = cand / jnp.linalg.norm(cand, axis=-1, keepdims=True).clip(1e-6)
+    corr = jnp.einsum("ndp,np->nd", cand, ref)  # [N, d²]
+
+    best = jnp.argmax(corr, axis=-1)
+    bx = best % d
+    by = best // d
+    c0 = corr.reshape(-1, d, d)
+    nidx = jnp.arange(coords.shape[0])
+
+    def subpix(cm, c_, cp):
+        denom = cm - 2 * c_ + cp
+        return jnp.clip(jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (cm - cp) / denom, 0.0), -0.5, 0.5)
+
+    dx = subpix(
+        c0[nidx, by, jnp.clip(bx - 1, 0, d - 1)], c0[nidx, by, bx], c0[nidx, by, jnp.clip(bx + 1, 0, d - 1)]
+    )
+    dy = subpix(
+        c0[nidx, jnp.clip(by - 1, 0, d - 1), bx], c0[nidx, by, bx], c0[nidx, jnp.clip(by + 1, 0, d - 1), bx]
+    )
+    new = coords + search_offs[best] + jnp.stack([dx, dy], -1)
+    score = corr[nidx, best]
+    return new, score
+
+
+class PointTracker:
+    """High-level tracking front end (reference _track_frames API): forward +
+    backward tracking of query points from a given frame.
+
+    mode="correlation" needs no trained weights (deterministic multi-scale
+    argmax chaining); mode="learned" runs the CoTracker iterative model.
+    """
+
+    def __init__(self, config: CoTrackerConfig = CoTrackerConfig(), params=None, mode: str = "correlation", seed: int = 0):
+        self.cfg = config
+        self.mode = mode
+        self.model = CoTracker(config)
+        self.encoder = BasicEncoder(config)
+        if params is None:
+            dummy_v = jnp.zeros((2, 32, 32, 3))
+            dummy_q = jnp.zeros((1, 2))
+            params = self.model.init(jax.random.PRNGKey(seed), dummy_v, dummy_q)["params"]
+        self.params = jax.tree.map(jnp.asarray, params)
+
+    def track(self, video: np.ndarray, queries: np.ndarray, query_frame: int = 0):
+        """video [T, H, W, 3] uint8/float; queries [N, 2] (x, y) pixels.
+        -> (tracks [T, N, 2], visibility [T, N] bool). Bidirectional
+        (backward_tracking=True in the reference)."""
+        v = jnp.asarray(video, jnp.float32)
+        if video.dtype == np.uint8:
+            v = v / 255.0
+        q = jnp.asarray(queries, jnp.float32)
+        if self.mode == "learned":
+            tracks, vis = self.model.apply({"params": self.params}, v, q, query_frame)
+            return np.asarray(tracks), np.asarray(vis) > 0.5
+        # ZNCC patch chaining, forward then backward from the query frame.
+        t = v.shape[0]
+        tracks = np.zeros((t, q.shape[0], 2), np.float32)
+        scores = np.zeros((t, q.shape[0]), np.float32)
+        tracks[query_frame] = np.asarray(q)
+        scores[query_frame] = 1.0
+        cur = q
+        for f in range(query_frame + 1, t):
+            cur, sc = patch_track_step(v[f - 1], v[f], cur)
+            tracks[f] = np.asarray(cur)
+            scores[f] = np.asarray(sc)
+        cur = q
+        for f in range(query_frame - 1, -1, -1):
+            cur, sc = patch_track_step(v[f + 1], v[f], cur)
+            tracks[f] = np.asarray(cur)
+            scores[f] = np.asarray(sc)
+        return tracks, scores > 0.5
