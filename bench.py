@@ -19,6 +19,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compilation cache: the driver's end-of-round bench run reuses
+# executables compiled during the round (remote TPU compiles are slow).
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 TINY = bool(os.environ.get("FREEPOSE_BENCH_TINY"))
 BATCH = 2 if TINY else 8
 N_VIEWS = 32 if TINY else 600

@@ -85,6 +85,34 @@ class ClipEncoderLayer(nn.Module):
         return x + h
 
 
+class _ScanVisionLayer(nn.Module):
+    """Rolled encoder layer (nn.scan) — one compiled block instead of an
+    L-deep unrolled graph (bigG has 48 vision / 32 text layers)."""
+
+    config: ClipConfig
+
+    @nn.compact
+    def __call__(self, x, _):
+        c = self.config
+        x = ClipEncoderLayer(
+            c.vision_width, c.vision_heads, c.mlp_ratio, c.quick_gelu, c.dtype, name="layer"
+        )(x)
+        return x, None
+
+
+class _ScanTextLayer(nn.Module):
+    config: ClipConfig
+
+    @nn.compact
+    def __call__(self, carry, _):
+        x, mask = carry
+        c = self.config
+        x = ClipEncoderLayer(
+            c.text_width, c.text_heads, c.mlp_ratio, c.quick_gelu, c.dtype, name="layer"
+        )(x, mask=mask)
+        return (x, mask), None
+
+
 class ClipVisionTower(nn.Module):
     config: ClipConfig
 
@@ -108,11 +136,13 @@ class ClipVisionTower(nn.Module):
         pos = self.param("pos_embed", nn.initializers.normal(0.02), (n_pos, cfg.vision_width))
         x = x + pos[None].astype(cfg.dtype)
         x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln_pre")(x)
-        for i in range(cfg.vision_layers):
-            x = ClipEncoderLayer(
-                cfg.vision_width, cfg.vision_heads, cfg.mlp_ratio, cfg.quick_gelu, cfg.dtype,
-                name=f"layer{i}",
-            )(x)
+        scanned = nn.scan(
+            _ScanVisionLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=cfg.vision_layers,
+        )(cfg, name="layers")
+        x, _ = scanned(x, None)
         pooled = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln_post")(x[:, 0])
         proj = self.param(
             "proj", nn.initializers.normal(0.02), (cfg.vision_width, cfg.embed_dim)
@@ -139,11 +169,13 @@ class ClipTextTower(nn.Module):
         )
         x = tok[input_ids].astype(cfg.dtype) + pos[None, :length].astype(cfg.dtype)
         causal = jnp.triu(jnp.full((length, length), -jnp.inf, jnp.float32), k=1)
-        for i in range(cfg.text_layers):
-            x = ClipEncoderLayer(
-                cfg.text_width, cfg.text_heads, cfg.mlp_ratio, cfg.quick_gelu, cfg.dtype,
-                name=f"layer{i}",
-            )(x, mask=causal[None, None])
+        scanned = nn.scan(
+            _ScanTextLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=cfg.text_layers,
+        )(cfg, name="layers")
+        (x, _), _ = scanned((x, causal[None, None]), None)
         x = nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, name="ln_final")(x)
         if eot_positions is None:
             eot_positions = jnp.argmax(input_ids, axis=-1)

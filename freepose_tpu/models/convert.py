@@ -23,6 +23,14 @@ def _layernorm(sd, prefix):
     return {"scale": _t(sd[f"{prefix}.weight"]), "bias": _t(sd[f"{prefix}.bias"])}
 
 
+def stack_layers(per_layer: list[dict]) -> dict:
+    """Stack a list of identical param trees along a new leading axis — the
+    layout nn.scan'd transformer stacks expect (variable_axes={'params': 0})."""
+    import jax
+
+    return jax.tree.map(lambda *xs: np.stack(xs), *per_layer)
+
+
 def dinov2_from_hf(state_dict: dict, num_layers: int) -> dict:
     """HF Dinov2WithRegistersModel state dict -> DinoV2 Flax params.
 
@@ -43,6 +51,7 @@ def dinov2_from_hf(state_dict: dict, num_layers: int) -> dict:
     params["pos_embed"] = _t(sd["embeddings.position_embeddings"])
     params["norm"] = _layernorm(sd, "layernorm")
 
+    layers = []
     for i in range(num_layers):
         p = f"encoder.layer.{i}"
         q = _t(sd[f"{p}.attention.attention.query.weight"])
@@ -51,7 +60,7 @@ def dinov2_from_hf(state_dict: dict, num_layers: int) -> dict:
         qb = _t(sd[f"{p}.attention.attention.query.bias"])
         kb = _t(sd[f"{p}.attention.attention.key.bias"])
         vb = _t(sd[f"{p}.attention.attention.value.bias"])
-        params[f"block{i}"] = {
+        layers.append({
             "norm1": _layernorm(sd, f"{p}.norm1"),
             "attn": {
                 "qkv": {
@@ -64,7 +73,8 @@ def dinov2_from_hf(state_dict: dict, num_layers: int) -> dict:
             "norm2": _layernorm(sd, f"{p}.norm2"),
             "mlp": {"fc1": _dense(sd, f"{p}.mlp.fc1"), "fc2": _dense(sd, f"{p}.mlp.fc2")},
             "ls2": {"gamma": _t(sd[f"{p}.layer_scale2.lambda1"])},
-        }
+        })
+    params["blocks"] = {"block": stack_layers(layers)}
     return params
 
 
@@ -86,9 +96,10 @@ def dinov2_from_hub(state_dict: dict, num_layers: int) -> dict:
     params["reg_tokens"] = _t(sd["register_tokens"])
     params["pos_embed"] = _t(sd["pos_embed"])
     params["norm"] = _layernorm(sd, "norm")
+    layers = []
     for i in range(num_layers):
         p = f"blocks.{i}"
-        params[f"block{i}"] = {
+        layers.append({
             "norm1": _layernorm(sd, f"{p}.norm1"),
             "attn": {
                 "qkv": _dense(sd, f"{p}.attn.qkv"),
@@ -98,7 +109,8 @@ def dinov2_from_hub(state_dict: dict, num_layers: int) -> dict:
             "norm2": _layernorm(sd, f"{p}.norm2"),
             "mlp": {"fc1": _dense(sd, f"{p}.mlp.fc1"), "fc2": _dense(sd, f"{p}.mlp.fc2")},
             "ls2": {"gamma": _t(sd[f"{p}.ls2.gamma"])},
-        }
+        })
+    params["blocks"] = {"block": stack_layers(layers)}
     return params
 
 
@@ -135,16 +147,18 @@ def clip_from_hf(state_dict: dict, vision_layers: int, text_layers: int) -> dict
         "ln_post": _layernorm(sd, "vision_model.post_layernorm"),
         "proj": _t(sd["visual_projection.weight"]).T,
     }
-    for i in range(vision_layers):
-        visual[f"layer{i}"] = _clip_layer(sd, f"vision_model.encoder.layers.{i}")
+    visual["layers"] = {"layer": stack_layers(
+        [_clip_layer(sd, f"vision_model.encoder.layers.{i}") for i in range(vision_layers)]
+    )}
     text = {
         "token_embedding": _t(sd["text_model.embeddings.token_embedding.weight"]),
         "pos_embed": _t(sd["text_model.embeddings.position_embedding.weight"]),
         "ln_final": _layernorm(sd, "text_model.final_layer_norm"),
         "text_proj": _t(sd["text_projection.weight"]).T,
     }
-    for i in range(text_layers):
-        text[f"layer{i}"] = _clip_layer(sd, f"text_model.encoder.layers.{i}")
+    text["layers"] = {"layer": stack_layers(
+        [_clip_layer(sd, f"text_model.encoder.layers.{i}") for i in range(text_layers)]
+    )}
     return {"visual": visual, "text": text}
 
 
@@ -174,14 +188,16 @@ def clip_from_open_clip(state_dict: dict, vision_layers: int, text_layers: int) 
         "ln_post": _layernorm(sd, "visual.ln_post"),
         "proj": _t(sd["visual.proj"]),
     }
-    for i in range(vision_layers):
-        visual[f"layer{i}"] = _open_clip_layer(sd, f"visual.transformer.resblocks.{i}")
+    visual["layers"] = {"layer": stack_layers(
+        [_open_clip_layer(sd, f"visual.transformer.resblocks.{i}") for i in range(vision_layers)]
+    )}
     text = {
         "token_embedding": _t(sd["token_embedding.weight"]),
         "pos_embed": _t(sd["positional_embedding"]),
         "ln_final": _layernorm(sd, "ln_final"),
         "text_proj": _t(sd["text_projection"]),
     }
-    for i in range(text_layers):
-        text[f"layer{i}"] = _open_clip_layer(sd, f"transformer.resblocks.{i}")
+    text["layers"] = {"layer": stack_layers(
+        [_open_clip_layer(sd, f"transformer.resblocks.{i}") for i in range(text_layers)]
+    )}
     return {"visual": visual, "text": text}

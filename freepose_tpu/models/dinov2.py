@@ -50,6 +50,26 @@ VIT_S14_REG = DinoV2Config(hidden_size=384, num_layers=12, num_heads=6)
 VIT_TEST = DinoV2Config(hidden_size=64, num_layers=3, num_heads=4, image_size=56)
 
 
+class _ScanBlock(nn.Module):
+    """One transformer block inside an nn.scan roll: advances the residual
+    stream and snapshots it at the requested truncation layer. Rolling the
+    depth keeps the compiled graph one block long (compile time ~L× smaller)
+    and makes `layer` a runtime value instead of a static recompile axis."""
+
+    config: DinoV2Config
+
+    @nn.compact
+    def __call__(self, carry, _):
+        x, captured, idx, target = carry
+        cfg = self.config
+        x = TransformerBlock(
+            cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio, layerscale=True,
+            dtype=cfg.dtype, name="block",
+        )(x)
+        captured = jnp.where(idx + 1 == target, x, captured)
+        return (x, captured, idx + 1, target), None
+
+
 class DinoV2(nn.Module):
     """Returns all-token features after block `layer` + final norm."""
 
@@ -95,16 +115,15 @@ class DinoV2(nn.Module):
             axis=1,
         )
 
-        for i in range(n_layers):
-            tokens = TransformerBlock(
-                cfg.hidden_size,
-                cfg.num_heads,
-                cfg.mlp_ratio,
-                layerscale=True,
-                dtype=cfg.dtype,
-                name=f"block{i}",
-            )(tokens)
-        return nn.LayerNorm(epsilon=1e-6, dtype=cfg.dtype, name="norm")(tokens)
+        scanned = nn.scan(
+            _ScanBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=cfg.num_layers,
+        )(cfg, name="blocks")
+        carry0 = (tokens, tokens, jnp.int32(0), jnp.asarray(n_layers, jnp.int32))
+        (_, captured, _, _), _ = scanned(carry0, None)
+        return nn.LayerNorm(epsilon=1e-6, dtype=cfg.dtype, name="norm")(captured)
 
 
 def normalize_images(images: jax.Array) -> jax.Array:
