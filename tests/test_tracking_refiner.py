@@ -1,0 +1,130 @@
+"""Tracking refiner integration on a synthetic textured mesh video."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation as Rot
+
+from freepose_tpu.io.mesh import TriMesh, pad_mesh
+from freepose_tpu.models.cotracker import COTRACKER_TEST, PointTracker
+from freepose_tpu.models.dinov2 import DinoFeatureExtractor, DinoV2Config
+from freepose_tpu.ops.rasterizer import RasterSettings, rasterize
+from freepose_tpu.pipeline.tracking_refiner import GRID, TrackingRefiner, quantile_threshold
+
+RES = 518
+K = jnp.array([[500.0, 0, 160], [0, 500.0, 120], [0, 0, 1]])
+CFG = DinoV2Config(hidden_size=32, num_layers=2, num_heads=2, patch_size=14, image_size=56)
+
+
+def _mesh(seed=0):
+    rng = np.random.default_rng(seed)
+    n_lat, n_lon = 12, 16
+    verts, faces = [], []
+    for i in range(n_lat + 1):
+        th = np.pi * i / n_lat
+        for j in range(n_lon):
+            ph = 2 * np.pi * j / n_lon
+            r = 1.0 + 0.25 * np.sin(3 * ph) * np.sin(2 * th)
+            verts.append([r * np.sin(th) * np.cos(ph), r * np.sin(th) * np.sin(ph), r * np.cos(th)])
+    for i in range(n_lat):
+        for j in range(n_lon):
+            a = i * n_lon + j
+            b = i * n_lon + (j + 1) % n_lon
+            c = (i + 1) * n_lon + j
+            d = (i + 1) * n_lon + (j + 1) % n_lon
+            faces.append([a, b, c])
+            faces.append([b, d, c])
+    v = np.asarray(verts, np.float32) * 0.1
+    return TriMesh(v, np.asarray(faces, np.int32), rng.random((len(v), 3)).astype(np.float32))
+
+
+def _gt_poses(t=4):
+    poses = []
+    for i in range(t):
+        p = np.eye(4, dtype=np.float32)
+        p[:3, :3] = Rot.from_rotvec([0, 0.08 * i, 0.02 * i]).as_matrix()
+        p[:3, 3] = [0.02 * i, 0.0, 0.8]
+        poses.append(p)
+    return np.stack(poses)
+
+
+def _render_video(mesh, poses, res_hw=(240, 320)):
+    """Render the mesh into small frames with camera K."""
+    v, c, f, valid = pad_mesh(mesh, 512, 1024)
+    setts = RasterSettings(resolution=320, tile=32, max_faces_per_tile=256)
+    rgb, depth = rasterize(jnp.asarray(v), jnp.asarray(c), jnp.asarray(f), jnp.asarray(valid),
+                           jnp.asarray(poses), K, setts)
+    frames = np.asarray(rgb)[:, : res_hw[0], : res_hw[1]]
+    return frames
+
+
+@pytest.fixture(scope="module")
+def refiner():
+    fe = DinoFeatureExtractor(CFG)
+    feature_fn = lambda imgs: fe(imgs, layer=2, feature_type="patch")
+    tracker = PointTracker(COTRACKER_TEST, mode="correlation")
+    return TrackingRefiner(
+        feature_fn=feature_fn, tracker=tracker, max_vertices=512, max_faces=1024,
+        n_surface_samples=2000,
+        settings=RasterSettings(resolution=RES, tile=37, max_faces_per_tile=128),
+    )
+
+
+def test_pose_confidence_correct_beats_wrong(refiner):
+    mesh = _mesh()
+    poses = _gt_poses(1)
+    frames = _render_video(mesh, poses)
+    photo = jnp.asarray(frames[0].transpose(2, 0, 1))
+    conf_good = refiner.pose_confidence(mesh, photo, K, jnp.asarray(poses[0]))
+    bad = poses[0].copy()
+    bad[:3, :3] = Rot.from_rotvec([0, 1.6, 0]).as_matrix() @ bad[:3, :3]
+    conf_bad = refiner.pose_confidence(mesh, photo, K, jnp.asarray(bad))
+    assert conf_good.shape == (GRID, GRID)
+    assert conf_good.sum() > conf_bad.sum()
+
+
+def test_correspondences_project_correctly(refiner):
+    mesh = _mesh()
+    pose = _gt_poses(1)[0]
+    frames = _render_video(mesh, pose[None])
+    photo = jnp.asarray(frames[0].transpose(2, 0, 1))
+    query, surface, valid = refiner.compute_2d3d_correspondences(mesh, photo, K, jnp.asarray(pose))
+    assert valid.sum() >= 4
+    # The chosen surface points, projected with the GT pose, must land near
+    # their query pixels (within a patch diagonal of slack at image scale).
+    cam = surface[valid] @ pose[:3, :3].T + pose[:3, 3]
+    uv = cam @ np.asarray(K).T
+    uv = uv[:, :2] / uv[:, 2:]
+    err = np.linalg.norm(uv - query[valid], axis=-1)
+    assert np.median(err) < 12.0, f"median reprojection gap {np.median(err)}"
+
+
+def test_full_refine_loop_recovers_pose(refiner):
+    mesh = _mesh()
+    poses = _gt_poses(4)
+    frames = _render_video(mesh, poses)
+    photo0 = jnp.asarray(frames[0].transpose(2, 0, 1))
+    query, surface, valid = refiner.compute_2d3d_correspondences(mesh, photo0, K, jnp.asarray(poses[0]))
+    tracks, vis = refiner.track_frames(frames, query[valid], query_frame=0)
+    # PnP on the last frame's tracked points.
+    pose_est = refiner.compute_pnp(tracks[-1], surface[valid], vis[-1], K)
+    rot_err = np.rad2deg(np.linalg.norm(Rot.from_matrix(pose_est[:3, :3] @ poses[-1][:3, :3].T).as_rotvec()))
+    t_err = np.linalg.norm(pose_est[:3, 3] - poses[-1][:3, 3])
+    # Patch-centre quantization (queries are 37×37 patch centres, a design
+    # inherited from the reference) bounds achievable accuracy here.
+    assert rot_err < 15.0, f"rotation error {rot_err} deg"
+    assert t_err < 0.06, f"translation error {t_err} m"
+
+
+def test_quantile_threshold():
+    conf = jnp.asarray(np.concatenate([np.zeros(80), np.linspace(0.1, 1.0, 20)]))
+    thr = float(quantile_threshold(conf, 0.2))
+    # Top 20% of the 20 positives = 4 values: threshold near 0.8.
+    assert 0.7 < thr < 0.9
+
+
+def test_get_query_frames_suppression():
+    inliers = np.array([1, 9, 8, 1, 1, 1, 10, 1, 1, 7, 1, 1])
+    frames = TrackingRefiner.get_query_frames(inliers, n_reference=3)
+    assert len(frames) == 3
+    assert 6 in frames and 1 in frames
