@@ -1,0 +1,115 @@
+import numpy as np
+import pytest
+from scipy.spatial.transform import Rotation as Rot
+
+from freepose_tpu.evaluation import pose_error as pe
+from freepose_tpu.evaluation.score import (
+    EstimateErrors,
+    average_recall,
+    bop19_average_recalls,
+    match_poses,
+)
+from freepose_tpu.io.mesh import TriMesh
+
+K = np.array([[600.0, 0, 320], [0, 600, 240], [0, 0, 1]])
+
+
+def _pts(n=200, seed=0):
+    return np.random.default_rng(seed).uniform(-0.05, 0.05, (n, 3)).astype(np.float32)
+
+
+def test_identical_pose_zero_errors():
+    pts = _pts()
+    r = Rot.random(random_state=1).as_matrix()
+    t = np.array([0.0, 0, 0.5])
+    assert pe.chamfer(r, t, r, t, pts, pts) < 1e-6
+    assert pe.chamfer_proj(r, t, r, t, K, pts, pts) < 1e-3
+    assert pe.add(r, t, r, t, pts) < 1e-7
+    assert pe.adi(r, t, r, t, pts) < 1e-6
+    assert pe.re(r, r) < 1e-3
+    assert pe.te(t, t) == 0.0
+    assert pe.proj(r, t, r, t, K, pts) < 1e-3
+    assert pe.mssd(r, t, r, t, pts, pts) < 1e-6
+    assert pe.mspd(r, t, r, t, K, pts, pts) < 1e-3
+
+
+def test_chamfer_matches_sklearn_style_reference():
+    pts_a = _pts(seed=1)
+    pts_b = _pts(150, seed=2)
+    r1 = Rot.random(random_state=3).as_matrix()
+    r2 = Rot.random(random_state=4).as_matrix()
+    t1, t2 = np.array([0.0, 0, 0.5]), np.array([0.01, 0, 0.52])
+    got = pe.chamfer(r1, t1, r2, t2, pts_a, pts_b)
+    # Reference formula via scipy cKDTree:
+    from scipy.spatial import cKDTree
+
+    a = pts_a @ r1.T + t1
+    b = pts_b @ r2.T + t2
+    d1 = cKDTree(a).query(b)[0].mean()
+    d2 = cKDTree(b).query(a)[0].mean()
+    assert abs(got - (d1 + d2)) < 1e-5
+
+
+def test_translation_shift_error_scales():
+    pts = _pts()
+    r = np.eye(3)
+    t1 = np.array([0.0, 0, 0.5])
+    t2 = t1 + [0.02, 0, 0]
+    assert abs(pe.add(r, t1, r, t2, pts) - 0.02) < 1e-6
+    assert abs(pe.te(t1, t2) - 0.02) < 1e-9
+    assert abs(pe.chamfer(r, t1, r, t2, pts, pts) - 0.04) < 0.02  # bi-directional
+
+
+def test_adi_symmetric_invariance():
+    # A ring of points: rotation about its axis leaves adi ~ 0, add > 0.
+    ang = np.linspace(0, 2 * np.pi, 400, endpoint=False)
+    ring = np.stack([np.cos(ang) * 0.05, np.sin(ang) * 0.05, np.zeros_like(ang)], 1)
+    r_gt = np.eye(3)
+    r_est = Rot.from_rotvec([0, 0, np.pi / 7]).as_matrix()
+    t = np.array([0.0, 0, 0.5])
+    assert pe.adi(r_est, t, r_gt, t, ring) < 1e-3  # bounded by ring sampling gap
+    assert pe.add(r_est, t, r_gt, t, ring) > 0.01
+
+
+def test_mssd_symmetry_aware():
+    pts = _pts()
+    r_gt = np.eye(3)
+    sym = {"R": Rot.from_rotvec([0, 0, np.pi]).as_matrix(), "t": np.zeros(3)}
+    r_est = sym["R"]
+    t = np.array([0.0, 0, 0.5])
+    e_nosym = pe.mssd(r_est, t, r_gt, t, pts, pts)
+    e_sym = pe.mssd(r_est, t, r_gt, t, pts, pts, syms=[{"R": np.eye(3), "t": np.zeros(3)}, sym])
+    assert e_sym < 1e-6 < e_nosym
+
+
+def test_cus_with_tpu_renderer():
+    # Cube silhouettes: identical poses -> 0; disjoint -> 1.
+    h = 0.05
+    v = np.array([[-h, -h, -h], [h, -h, -h], [h, h, -h], [-h, h, -h],
+                  [-h, -h, h], [h, -h, h], [h, h, h], [-h, h, h]], np.float32)
+    f = np.array([[0, 1, 2], [0, 2, 3], [4, 6, 5], [4, 7, 6], [0, 4, 5], [0, 5, 1],
+                  [1, 5, 6], [1, 6, 2], [2, 6, 7], [2, 7, 3], [3, 7, 4], [3, 4, 0]], np.int32)
+    mesh = TriMesh(v, f)
+    ren = pe.MaskRenderer(160, 128, max_vertices=16, max_faces=16)
+    ren.add_object("a", mesh)
+    k = np.array([[150.0, 0, 80], [0, 150, 64], [0, 0, 1]])
+    r = np.eye(3)
+    t = np.array([0.0, 0, 0.6])
+    assert pe.cus(r, t, r, t, k, ren, "a", "a") < 1e-6
+    t2 = np.array([0.25, 0, 0.6])  # far to the side
+    assert pe.cus(r, t, r, t2, k, ren, "a", "a") > 0.95
+
+
+def test_matching_and_recall():
+    # 2 GTs; est0 (high score) matches gt0 well, est1 matches gt1 at 0.3.
+    frame = [
+        EstimateErrors(1, 1, "m", 0.9, {0: 0.1, 1: 0.4}),
+        EstimateErrors(1, 1, "m", 0.5, {0: 0.2, 1: 0.3}),
+    ]
+    matches, n = match_poses(frame, threshold=0.35, n_gts=2)
+    assert set(matches) == {(0, 0), (1, 1)}
+    per_frame = [(frame, 2)]
+    assert average_recall(per_frame, np.array([0.35])) == 1.0
+    assert average_recall(per_frame, np.array([0.15])) == 0.5
+    out = bop19_average_recalls({"chamfer": per_frame})
+    assert 0 < out["AR_chamfer"] <= 1.0 and out["AR"] == out["AR_chamfer"]
