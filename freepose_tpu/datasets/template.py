@@ -56,9 +56,13 @@ class WebTemplateDataset:
     also defines feature-bank row order).
     """
 
-    def __init__(self, wds_dir: str | Path, filelist: list[str], views: int = VIEWS_PER_MESH):
+    def __init__(self, wds_dir: str | Path, filelist: list[str], views: int | None = None):
+        import os
+
         self.dir = Path(wds_dir)
         self.names = [n.replace("_", "") for n in filelist]
+        if views is None:
+            views = int(os.environ.get("FREEPOSE_TEMPLATE_VIEWS", VIEWS_PER_MESH))
         self.views = views
 
     def __len__(self) -> int:

@@ -1,0 +1,96 @@
+"""Shared CLI plumbing: model/weight loading, naming conventions, sharding.
+
+The reference encodes hyperparameters in artifact FILENAMES
+(extract_proposals_ground.py:36, dino_inference.py:38); those name templates
+are reproduced here so artifacts interoperate, while every knob is also a
+proper flag.
+"""
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+
+def proposals_filename(box_thresh, text_thresh, feature_type, layer, topk, dataset_name) -> str:
+    """Reference name template (extract_proposals_ground.py:36)."""
+    return (
+        f"props-ground-box-{box_thresh}-text-{text_thresh}-{feature_type}-{layer}"
+        f"-top-{topk}_{dataset_name}.json"
+    )
+
+
+def add_shard_args(ap: argparse.ArgumentParser) -> None:
+    ap.add_argument("--shard-index", type=int, default=None, help="worker index (defaults to env)")
+    ap.add_argument("--shard-count", type=int, default=None, help="worker count (defaults to env)")
+
+
+def get_shard(args):
+    from freepose_tpu.parallel.scheduler import current_shard
+
+    return current_shard(args.shard_index, args.shard_count)
+
+
+def load_filelist(path: str | Path) -> list[str]:
+    return [line.strip() for line in Path(path).read_text().splitlines() if line.strip()]
+
+
+def load_dino_extractor(weights: str | None, model: str = "vitl", layer_default: int = 22):
+    """DINOv2 extractor; random-init when no converted weights are given
+    (weights: .npz of converted Flax params or a torch checkpoint).
+    FREEPOSE_TINY_MODELS=1 swaps in the tiny test config (CI / smoke runs)."""
+    import os
+
+    from freepose_tpu.models.dinov2 import (
+        VIT_B14_REG,
+        VIT_L14_REG,
+        VIT_TEST,
+        DinoFeatureExtractor,
+    )
+
+    if os.environ.get("FREEPOSE_TINY_MODELS"):
+        cfg = VIT_TEST
+    else:
+        cfg = {"vitl": VIT_L14_REG, "vitb": VIT_B14_REG}[model]
+    params = load_params(weights) if weights else None
+    return DinoFeatureExtractor(cfg, params=params)
+
+
+def load_params(path: str | Path):
+    """Load converted Flax params from .npz (flat '/'-joined keys) or a torch
+    .pt/.pth state dict via the converters."""
+    path = Path(path)
+    if path.suffix == ".npz":
+        flat = dict(np.load(path))
+        return unflatten(flat)
+    raise ValueError(
+        f"unsupported weights file {path}; convert torch checkpoints with "
+        "freepose_tpu.models.convert and save as .npz"
+    )
+
+
+def unflatten(flat: dict) -> dict:
+    tree: dict = {}
+    for key, value in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+    return tree
+
+
+def flatten(tree: dict, prefix: str = "") -> dict:
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(flatten(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def save_params(params: dict, path: str | Path) -> None:
+    np.savez(Path(path), **flatten(params))
