@@ -69,7 +69,7 @@ def main() -> None:
     bboxes = jnp.asarray(rng.random((BATCH, 4)) * 200 + np.array([100, 100, 300, 300]), jnp.float32)
 
     @jax.jit
-    def step(params, proposals, bboxes):
+    def step(params, proposals, bboxes, feats, pc_min, pc_max, pc_mean, poses):
         tokens = model.apply({"params": params}, normalize_images(proposals), layer=layer)
         qf = normalize_feats(split_tokens(tokens, cfg.num_registers)["patch"])
 
@@ -78,11 +78,12 @@ def main() -> None:
 
         return jax.vmap(one)(qf, bboxes)
 
-    out = jax.block_until_ready(step(params, proposals, bboxes))
+    bank_args = (feats, pc_min, pc_max, pc_mean, poses)
+    out = jax.block_until_ready(step(params, proposals, bboxes, *bank_args))
     n_iter = 5
     t0 = time.perf_counter()
     for _ in range(n_iter):
-        out = jax.block_until_ready(step(params, proposals, bboxes))
+        out = jax.block_until_ready(step(params, proposals, bboxes, *bank_args))
     dt = (time.perf_counter() - t0) / n_iter
     fps = BATCH / dt
 

@@ -201,3 +201,46 @@ def clip_from_open_clip(state_dict: dict, vision_layers: int, text_layers: int) 
         [_open_clip_layer(sd, f"transformer.resblocks.{i}") for i in range(text_layers)]
     )}
     return {"visual": visual, "text": text}
+
+
+def swin_from_hf(sd: dict, depths, out_stages, prefix: str = "") -> dict:
+    """HF SwinBackbone/SwinModel state dict -> SwinBackbone Flax params."""
+    p = prefix
+    params = {
+        "patch_embed": {
+            "kernel": _t(sd[f"{p}embeddings.patch_embeddings.projection.weight"]).transpose(2, 3, 1, 0),
+            "bias": _t(sd[f"{p}embeddings.patch_embeddings.projection.bias"]),
+        },
+        "embed_norm": _layernorm(sd, f"{p}embeddings.norm"),
+    }
+    for stage, depth in enumerate(depths):
+        for blk in range(depth):
+            bp = f"{p}encoder.layers.{stage}.blocks.{blk}"
+            q = _t(sd[f"{bp}.attention.self.query.weight"])
+            k = _t(sd[f"{bp}.attention.self.key.weight"])
+            v = _t(sd[f"{bp}.attention.self.value.weight"])
+            qb = _t(sd[f"{bp}.attention.self.query.bias"])
+            kb = _t(sd[f"{bp}.attention.self.key.bias"])
+            vb = _t(sd[f"{bp}.attention.self.value.bias"])
+            params[f"stage{stage}_block{blk}"] = {
+                "ln1": _layernorm(sd, f"{bp}.layernorm_before"),
+                "qkv": {
+                    "kernel": np.concatenate([q, k, v], axis=0).T,
+                    "bias": np.concatenate([qb, kb, vb]),
+                },
+                "rel_bias_table": _t(sd[f"{bp}.attention.self.relative_position_bias_table"]),
+                "proj": _dense(sd, f"{bp}.attention.output.dense"),
+                "ln2": _layernorm(sd, f"{bp}.layernorm_after"),
+                "fc1": _dense(sd, f"{bp}.intermediate.dense"),
+                "fc2": _dense(sd, f"{bp}.output.dense"),
+            }
+        if f"{p}encoder.layers.{stage}.downsample.reduction.weight" in sd:
+            params[f"downsample{stage}"] = {
+                "norm": _layernorm(sd, f"{p}encoder.layers.{stage}.downsample.norm"),
+                "reduction": {"kernel": _t(sd[f"{p}encoder.layers.{stage}.downsample.reduction.weight"]).T},
+            }
+    for stage in out_stages:
+        key = f"{p}hidden_states_norms.stage{stage + 1}"
+        if f"{key}.weight" in sd:
+            params[f"out_norm{stage}"] = _layernorm(sd, key)
+    return params
