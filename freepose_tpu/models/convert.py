@@ -244,3 +244,27 @@ def swin_from_hf(sd: dict, depths, out_stages, prefix: str = "") -> dict:
         if f"{key}.weight" in sd:
             params[f"out_norm{stage}"] = _layernorm(sd, key)
     return params
+
+
+def bert_from_hf(sd: dict, num_layers: int, prefix: str = "") -> dict:
+    """HF BertModel state dict -> Bert Flax params."""
+    p = prefix
+    params = {
+        "word_embeddings": _t(sd[f"{p}embeddings.word_embeddings.weight"]),
+        "position_embeddings": _t(sd[f"{p}embeddings.position_embeddings.weight"]),
+        "token_type_embeddings": _t(sd[f"{p}embeddings.token_type_embeddings.weight"]),
+        "embed_ln": _layernorm(sd, f"{p}embeddings.LayerNorm"),
+    }
+    for i in range(num_layers):
+        lp = f"{p}encoder.layer.{i}"
+        params[f"layer{i}"] = {
+            "q": _dense(sd, f"{lp}.attention.self.query"),
+            "k": _dense(sd, f"{lp}.attention.self.key"),
+            "v": _dense(sd, f"{lp}.attention.self.value"),
+            "attn_out": _dense(sd, f"{lp}.attention.output.dense"),
+            "attn_ln": _layernorm(sd, f"{lp}.attention.output.LayerNorm"),
+            "fc1": _dense(sd, f"{lp}.intermediate.dense"),
+            "fc2": _dense(sd, f"{lp}.output.dense"),
+            "out_ln": _layernorm(sd, f"{lp}.output.LayerNorm"),
+        }
+    return params
