@@ -268,3 +268,95 @@ def bert_from_hf(sd: dict, num_layers: int, prefix: str = "") -> dict:
             "out_ln": _layernorm(sd, f"{lp}.output.LayerNorm"),
         }
     return params
+
+
+def _gd_mha(sd, p):
+    return {
+        "q": _dense(sd, f"{p}.query"),
+        "k": _dense(sd, f"{p}.key"),
+        "v": _dense(sd, f"{p}.value"),
+        "out": _dense(sd, f"{p}.out_proj"),
+    }
+
+
+def _gd_msda(sd, p):
+    return {
+        "value_proj": _dense(sd, f"{p}.value_proj"),
+        "sampling_offsets": _dense(sd, f"{p}.sampling_offsets"),
+        "attention_weights": _dense(sd, f"{p}.attention_weights"),
+        "output_proj": _dense(sd, f"{p}.output_proj"),
+    }
+
+
+def _gd_mlp_head(sd, p, n_layers=3):
+    return {f"layer{i}": _dense(sd, f"{p}.layers.{i}") for i in range(n_layers)}
+
+
+def grounding_dino_from_hf(sd: dict, swin_depths, swin_out_stages, text_layers: int,
+                           encoder_layers: int = 6, decoder_layers: int = 6,
+                           num_backbone_levels: int = 3, num_levels: int = 4) -> dict:
+    """HF GroundingDinoForObjectDetection state dict -> GroundingDino params."""
+    params: dict = {
+        "backbone": swin_from_hf(sd, swin_depths, swin_out_stages,
+                                 prefix="model.backbone.conv_encoder.model."),
+        "text_backbone": bert_from_hf(sd, text_layers, prefix="model.text_backbone."),
+        "text_projection": _dense(sd, "model.text_projection"),
+        "level_embed": _t(sd["model.level_embed"]),
+        "query_embeds": _t(sd["model.query_position_embeddings.weight"]),
+        "enc_output": _dense(sd, "model.enc_output"),
+        "enc_output_norm": _layernorm(sd, "model.enc_output_norm"),
+        "enc_bbox_head": _gd_mlp_head(sd, "model.encoder_output_bbox_embed"),
+        "ref_point_head": _gd_mlp_head(sd, "model.decoder.reference_points_head", 2),
+        "decoder_ln": _layernorm(sd, "model.decoder.layer_norm"),
+    }
+    for i in range(num_levels):
+        params[f"input_proj{i}"] = _conv_gd(sd, f"model.input_proj_vision.{i}.0")
+        params[f"input_gn{i}"] = _layernorm(sd, f"model.input_proj_vision.{i}.1")
+    for i in range(encoder_layers):
+        p = f"model.encoder.layers.{i}"
+        params[f"enc{i}"] = {
+            "fusion_ln_v": _layernorm(sd, f"{p}.fusion_layer.layer_norm_vision"),
+            "fusion_ln_t": _layernorm(sd, f"{p}.fusion_layer.layer_norm_text"),
+            "fusion_attn": {
+                "vision_proj": _dense(sd, f"{p}.fusion_layer.attn.vision_proj"),
+                "text_proj": _dense(sd, f"{p}.fusion_layer.attn.text_proj"),
+                "values_vision_proj": _dense(sd, f"{p}.fusion_layer.attn.values_vision_proj"),
+                "values_text_proj": _dense(sd, f"{p}.fusion_layer.attn.values_text_proj"),
+                "out_vision_proj": _dense(sd, f"{p}.fusion_layer.attn.out_vision_proj"),
+                "out_text_proj": _dense(sd, f"{p}.fusion_layer.attn.out_text_proj"),
+            },
+            "fusion_vision_scale": _t(sd[f"{p}.fusion_layer.vision_param"]),
+            "fusion_text_scale": _t(sd[f"{p}.fusion_layer.text_param"]),
+            "text_attn": _gd_mha(sd, f"{p}.text_enhancer_layer.self_attn"),
+            "text_ln1": _layernorm(sd, f"{p}.text_enhancer_layer.layer_norm_before"),
+            "text_fc1": _dense(sd, f"{p}.text_enhancer_layer.fc1"),
+            "text_fc2": _dense(sd, f"{p}.text_enhancer_layer.fc2"),
+            "text_ln2": _layernorm(sd, f"{p}.text_enhancer_layer.layer_norm_after"),
+            "deform_attn": _gd_msda(sd, f"{p}.deformable_layer.self_attn"),
+            "deform_ln1": _layernorm(sd, f"{p}.deformable_layer.self_attn_layer_norm"),
+            "deform_fc1": _dense(sd, f"{p}.deformable_layer.fc1"),
+            "deform_fc2": _dense(sd, f"{p}.deformable_layer.fc2"),
+            "deform_ln2": _layernorm(sd, f"{p}.deformable_layer.final_layer_norm"),
+        }
+    for i in range(decoder_layers):
+        p = f"model.decoder.layers.{i}"
+        params[f"dec{i}"] = {
+            "self_attn": _gd_mha(sd, f"{p}.self_attn"),
+            "ln1": _layernorm(sd, f"{p}.self_attn_layer_norm"),
+            "text_cross": _gd_mha(sd, f"{p}.encoder_attn_text"),
+            "ln2": _layernorm(sd, f"{p}.encoder_attn_text_layer_norm"),
+            "deform_cross": _gd_msda(sd, f"{p}.encoder_attn"),
+            "ln3": _layernorm(sd, f"{p}.encoder_attn_layer_norm"),
+            "fc1": _dense(sd, f"{p}.fc1"),
+            "fc2": _dense(sd, f"{p}.fc2"),
+            "ln_out": _layernorm(sd, f"{p}.final_layer_norm"),
+        }
+        params[f"dec_bbox{i}"] = _gd_mlp_head(sd, f"bbox_embed.{i}")
+    return params
+
+
+def _conv_gd(sd, p):
+    return {
+        "kernel": _t(sd[f"{p}.weight"]).transpose(2, 3, 1, 0),
+        "bias": _t(sd[f"{p}.bias"]),
+    }

@@ -470,7 +470,7 @@ class GroundingDino(nn.Module):
         inter_hidden = []
         for i in range(c.decoder_layers):
             ref_in = jnp.tile(reference[:, :, None, :], (1, 1, c.num_feature_levels, 1))
-            query_pos = ref_head(box_sine_embed(reference, c.d_model // 2))
+            query_pos = ref_head(box_sine_embed(reference, c.d_model))  # d_model//2 per coord
             hidden = DecoderLayer(c, name=f"dec{i}")(
                 hidden, query_pos, ref_in, vision, text, text_pad_mask, spatial_shapes
             )
