@@ -138,3 +138,30 @@ def test_cli_end_to_end(workspace):
     np.testing.assert_allclose(r.R @ r.R.T, np.eye(3), atol=1e-4)
     assert 0.05 < r.t[2] < 20.0
     assert r.time > 0
+
+
+def test_cli_eval_bop_pose(workspace):
+    """Close the loop: evaluate the slice's CSV with the BOP eval driver."""
+    ws = workspace
+    if not (ws / "poses.csv").exists():
+        pytest.skip("dino_inference output missing (ordering)")
+    # GT models dir: reuse meshaaa as obj_000001 (mm units like BOP models).
+    import shutil
+
+    models = ws / "models"
+    models.mkdir(exist_ok=True)
+    from freepose_tpu.io.mesh import load_obj, save_obj
+
+    mesh = load_obj(ws / "meshes" / "meshaaa" / "meshaaa.obj").normalized()
+    save_obj(mesh.scaled(100.0), models / "obj_000001.obj")  # 0.1 m half-extent in mm
+    r = _run([
+        "scripts.eval_bop_pose", "--results", str(ws / "poses.csv"),
+        "--dataset", str(ws / "bop"), "--split", "test",
+        "--models-dir", str(models), "--inference-mesh-dir", str(ws / "meshes"),
+        "--errors", "chamfer", "chamfer_proj", "--n-points", "300",
+        "--out", str(ws / "scores.json"),
+    ])
+    scores = json.loads((ws / "scores.json").read_text())
+    assert "AR" in scores and 0.0 <= scores["AR"] <= 1.0
+    assert "AR_chamfer" in scores and "AR_chamfer_proj" in scores
+    assert scores["mean_time_s"] > 0
