@@ -146,7 +146,10 @@ class MaskRenderer:
         self.size = max(width, height)
         self.width = width
         self.height = height
-        self.settings = RasterSettings(resolution=self.size, tile=37 if self.size % 37 == 0 else 32, max_faces_per_tile=256)
+        self.settings = RasterSettings(
+            resolution=self.size, tile=37 if self.size % 37 == 0 else 32,
+            max_faces_per_tile=256, depth_only=True,
+        )
         self.max_vertices = max_vertices
         self.max_faces = max_faces
         self._meshes: dict = {}

@@ -35,6 +35,7 @@ class RasterSettings:
     max_faces_per_tile: int = 256
     ambient: float = 2.0  # match pyrender Scene(ambient_light=2.0) look
     znear: float = 1e-4
+    depth_only: bool = False  # skip color interpolation (silhouette/eval renders)
 
 
 def _project_vertices(vertices: jax.Array, pose: jax.Array, k: jax.Array):
@@ -145,18 +146,20 @@ def rasterize(
         depth_tile = jnp.take_along_axis(z_pix, best[:, None, :], axis=1)[:, 0, :]
         hit = jnp.isfinite(depth_tile)
 
-        # Color at every candidate face/pixel (perspective-correct), then pick
-        # the z-winner. Shape juggling: [T, M, tp, 3].
-        col_over_z = tri_col_t * iz[..., None]  # [T, M, 3, 3]
-        col_pix = (
-            l0[..., None] * col_over_z[:, :, 0, :][:, :, None, :]
-            + l1[..., None] * col_over_z[:, :, 1, :][:, :, None, :]
-            + l2[..., None] * col_over_z[:, :, 2, :][:, :, None, :]
-        ) * jnp.where(jnp.isfinite(z_pix), z_pix, 0.0)[..., None]
-        rgb_tile = jnp.take_along_axis(col_pix, best[:, None, :, None], axis=1)[:, 0]
-
-        rgb_tile = jnp.clip(rgb_tile * settings.ambient, 0.0, 1.0)
-        rgb_tile = jnp.where(hit[..., None], rgb_tile, 0.0)
+        if settings.depth_only:
+            rgb_tile = jnp.zeros(depth_tile.shape + (3,), jnp.float32)
+        else:
+            # Color at every candidate face/pixel (perspective-correct), then
+            # pick the z-winner. Shape juggling: [T, M, tp, 3].
+            col_over_z = tri_col_t * iz[..., None]  # [T, M, 3, 3]
+            col_pix = (
+                l0[..., None] * col_over_z[:, :, 0, :][:, :, None, :]
+                + l1[..., None] * col_over_z[:, :, 1, :][:, :, None, :]
+                + l2[..., None] * col_over_z[:, :, 2, :][:, :, None, :]
+            ) * jnp.where(jnp.isfinite(z_pix), z_pix, 0.0)[..., None]
+            rgb_tile = jnp.take_along_axis(col_pix, best[:, None, :, None], axis=1)[:, 0]
+            rgb_tile = jnp.clip(rgb_tile * settings.ambient, 0.0, 1.0)
+            rgb_tile = jnp.where(hit[..., None], rgb_tile, 0.0)
         depth_tile = jnp.where(hit, depth_tile, 0.0)
 
         # --- Reassemble tiles into the image ------------------------------
