@@ -1,0 +1,126 @@
+"""Fused flash-attention Pallas kernel for TPU.
+
+The hot compute of every model in this framework is ViT self-attention
+(DINOv2 L at 901 tokens × 24 layers over 600-view template batches; SAM2
+Hiera windows; reference equivalents ran torch SDPA/flash kernels,
+SURVEY.md §2.6.3). This kernel fuses QK^T, the online-softmax normalization,
+and PV into one VMEM-resident pass per (batch·head, q-block), streaming K/V
+in blocks — no [N, N] attention matrix ever materializes in HBM.
+
+Grid: (B*H, num_q_blocks); K/V stream over a lax.fori_loop with running
+(max, sum, accumulator) in fp32. Sequence lengths pad to the block size with
+masked logits. `flash_attention` pads/reshapes and falls back to the dense
+XLA path on non-TPU backends (the kernel itself is also exercised on CPU via
+interpret mode in tests).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 256
+NEG_INF = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, seq_len: int):
+    """One (batch·head, q-block) program: stream K/V blocks with online
+    softmax. q_ref: [bq, d]; k_ref/v_ref: [Nk_pad, d]; o_ref: [bq, d]."""
+    q = q_ref[:].astype(jnp.float32) * scale
+    bq, d = q.shape
+    nk_pad = k_ref.shape[0]
+    num_kb = nk_pad // block_k
+
+    def body(kb, carry):
+        m_prev, l_prev, acc = carry
+        k = k_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [bq, bk]
+        # Mask padded keys.
+        key_idx = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+        logits = jnp.where(key_idx < seq_len, logits, NEG_INF)
+
+        m_cur = jnp.max(logits, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(logits - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        return m_new, l_new, acc
+
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    _, l_final, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    o_ref[:] = (acc / jnp.maximum(l_final, 1e-30)).astype(o_ref.dtype)
+
+
+def _kernel_squeeze(q_ref, k_ref, v_ref, o_ref, **kw):
+    """pallas blocks carry the grid axis as a leading size-1 dim; squeeze."""
+    _flash_kernel(q_ref.at[0], k_ref.at[0], v_ref.at[0], o_ref.at[0], **kw)
+
+
+def _pad_to(x: jax.Array, size: int, axis: int) -> jax.Array:
+    pad = size - x.shape[axis]
+    if pad <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("scale", "block_q", "block_k", "interpret"),
+)
+def flash_attention(
+    q: jax.Array,  # [B, H, N, d]
+    k: jax.Array,
+    v: jax.Array,
+    scale: float,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+) -> jax.Array:
+    b, h, n, d = q.shape
+    nk = k.shape[2]
+    block_q = min(block_q, max(8, n))
+    block_k = min(block_k, max(8, nk))
+    n_pad = -(-n // block_q) * block_q
+    nk_pad = -(-nk // block_k) * block_k
+    d_pad = max(-(-d // 128) * 128, 128)
+
+    qp = _pad_to(_pad_to(q, n_pad, 2), d_pad, 3).reshape(b * h, n_pad, d_pad)
+    kp = _pad_to(_pad_to(k, nk_pad, 2), d_pad, 3).reshape(b * h, nk_pad, d_pad)
+    vp = _pad_to(_pad_to(v, nk_pad, 2), d_pad, 3).reshape(b * h, nk_pad, d_pad)
+
+    grid = (b * h, n_pad // block_q)
+    out = pl.pallas_call(
+        partial(_kernel_squeeze, scale=scale, block_k=block_k, seq_len=nk),
+        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d_pad), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk_pad, d_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk_pad, d_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out.reshape(b, h, n_pad, d_pad)[:, :, :n, :d]
+
+
+
+
+def flash_attention_fn(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
+    """Drop-in `attention_fn` for freepose_tpu.models.vit.MultiHeadAttention:
+    Pallas flash attention on TPU, dense XLA fallback elsewhere."""
+    if jax.devices()[0].platform in ("tpu", "axon"):
+        return flash_attention(q, k, v, scale)
+    from freepose_tpu.models.vit import dot_product_attention
+
+    return dot_product_attention(q, k, v, scale)
