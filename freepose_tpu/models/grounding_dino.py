@@ -490,11 +490,16 @@ class GroundingDinoDetector:
     accepts pre-tokenized ids. from_weights loads converted .npz params.
     """
 
-    def __init__(self, config: GroundingDinoConfig, params, image_size: int = 800):
+    def __init__(self, config: GroundingDinoConfig, params, image_size: int = 800, vocab_path: str | None = None):
         self.config = config
         self.model = GroundingDino(config)
         self.params = jax.tree.map(jnp.asarray, params)
         self.image_size = image_size
+        self.tokenizer = None
+        if vocab_path:
+            from freepose_tpu.models.wordpiece import WordPieceTokenizer
+
+            self.tokenizer = WordPieceTokenizer(vocab_path)
 
     @classmethod
     def from_weights(cls, weights_path: str | None, config: GroundingDinoConfig | None = None):
@@ -524,9 +529,11 @@ class GroundingDinoDetector:
 
         h, w = image.shape[:2]
         if input_ids is None:
-            # Minimal prompt encoding: [CLS] token(s) [SEP]; real deployments
-            # pass tokenizer output. "objects." maps to a placeholder id.
-            input_ids = np.array([[101, 103, 1012, 102]])
+            if self.tokenizer is not None:
+                input_ids = np.asarray([self.tokenizer.encode(text)])
+            else:
+                # Placeholder prompt ids when no WordPiece vocab is wired.
+                input_ids = np.array([[101, 103, 1012, 102]])
         sa, pos = text_token_masks(np.asarray(input_ids))
         pad = np.zeros(input_ids.shape, bool)
         img = jnp.asarray(image, jnp.float32) / (255.0 if image.dtype == np.uint8 else 1.0)
