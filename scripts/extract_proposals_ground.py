@@ -112,6 +112,7 @@ def main() -> None:
     ap.add_argument("--feature-type", choices=["ffa", "cls"], default="ffa")
     ap.add_argument("--topk", type=int, default=0, help=">0 enables per-view fine rerank")
     ap.add_argument("--fine-features-dir", default=None, help="per-mesh [V, D] .npy dir")
+    ap.add_argument("--fine-bank", default=None, help="consolidated memmap bank (io.npy_bank)")
     ap.add_argument("--min-mask-px", type=int, default=400)
     add_shard_args(ap)
     args = ap.parse_args()
@@ -145,13 +146,20 @@ def main() -> None:
         scores, indices = topk_search(bank_dev, feats, min(100, len(names)))
         scores, indices = np.asarray(scores), np.asarray(indices)
         for i in range(len(masks)):
-            if args.topk > 0 and args.fine_features_dir:
-                cand = []
-                for row in indices[i]:
-                    f = np.load(Path(args.fine_features_dir) / f"{names[row]}.npy")
-                    f /= np.maximum(np.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
-                    cand.append(f)
-                fine = jnp.asarray(np.stack(cand))
+            if args.topk > 0 and (args.fine_bank or args.fine_features_dir):
+                if args.fine_bank:
+                    if not hasattr(main, "_fine_bank"):
+                        from freepose_tpu.io.npy_bank import FineFeatureBank
+
+                        main._fine_bank = FineFeatureBank(args.fine_bank)
+                    fine = jnp.asarray(main._fine_bank.gather(indices[i]))
+                else:
+                    cand = []
+                    for row in indices[i]:
+                        f = np.load(Path(args.fine_features_dir) / f"{names[row]}.npy")
+                        f /= np.maximum(np.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
+                        cand.append(f)
+                    fine = jnp.asarray(np.stack(cand))
                 fine_scores = np.asarray(fine_rerank_scores(fine, feats[i], args.topk))
                 best = int(np.argmax(fine_scores))
                 mesh, score = names[indices[i][best]], float(fine_scores[best])
