@@ -1,0 +1,157 @@
+"""End-to-end VIDEO slice through the real CLIs: synthetic rendered video ->
+proposals JSON -> dino_inference_video (coarse+fine tracking) ->
+smooth_poses_video (track+PnP+smooth) -> eval_videos drift tables."""
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+from scipy.spatial.transform import Rotation as Rot
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _run(args, timeout=1500):
+    env = dict(os.environ)
+    env["FREEPOSE_TINY_MODELS"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["PYTHONPATH"] = str(REPO)
+    env["FREEPOSE_TEMPLATE_VIEWS"] = "8"
+    r = subprocess.run(
+        [sys.executable, "-m", args[0], *args[1:]], cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=timeout,
+    )
+    assert r.returncode == 0, f"{args[0]} failed:\n{r.stdout[-3000:]}\n{r.stderr[-3000:]}"
+    return r
+
+
+@pytest.fixture(scope="module")
+def video_ws(tmp_path_factory):
+    from freepose_tpu.geometry.boxes import mask_to_bbox
+    from freepose_tpu.io.mesh import TriMesh, pad_mesh, save_obj
+    from freepose_tpu.io.proposals_json import proposal_entry, save_proposals
+    from freepose_tpu.ops.rasterizer import RasterSettings, rasterize
+    from freepose_tpu.geometry.camera import default_video_intrinsics
+
+    import jax.numpy as jnp
+
+    ws = tmp_path_factory.mktemp("video")
+    rng = np.random.default_rng(0)
+
+    # Textured blob mesh, saved for the CLIs.
+    n_lat, n_lon = 10, 14
+    verts, faces = [], []
+    for i in range(n_lat + 1):
+        th = np.pi * i / n_lat
+        for j in range(n_lon):
+            ph = 2 * np.pi * j / n_lon
+            r = 1.0 + 0.2 * np.sin(3 * ph) * np.sin(2 * th)
+            verts.append([r * np.sin(th) * np.cos(ph), r * np.sin(th) * np.sin(ph), r * np.cos(th)])
+    for i in range(n_lat):
+        for j in range(n_lon):
+            a = i * n_lon + j
+            b = i * n_lon + (j + 1) % n_lon
+            c = (i + 1) * n_lon + j
+            d = (i + 1) * n_lon + (j + 1) % n_lon
+            faces.append([a, b, c])
+            faces.append([b, d, c])
+    mesh = TriMesh(
+        np.asarray(verts, np.float32), np.asarray(faces, np.int32),
+        rng.random((len(verts), 3)).astype(np.float32),
+    )
+    mesh_dir = ws / "meshes" / "blobmesh"
+    mesh_dir.mkdir(parents=True)
+    save_obj(mesh, mesh_dir / "blobmesh.obj")
+    (ws / "filelist.txt").write_text("blobmesh\n")
+
+    # GT trajectory + rendered frames (240x320).
+    n_frames = 5
+    h, w = 240, 320
+    k = default_video_intrinsics(w, h)
+    scale = 0.12
+    gt = []
+    for t in range(n_frames):
+        p = np.eye(4, dtype=np.float32)
+        p[:3, :3] = Rot.from_rotvec([0, 0.06 * t, 0.02 * t]).as_matrix()
+        p[:3, 3] = [0.02 * t - 0.02, 0.0, 1.2]
+        gt.append(p)
+    gt = np.stack(gt)
+    v, c, f, valid = pad_mesh(mesh.scaled(scale), 512, 1024)
+    setts = RasterSettings(resolution=320, tile=32, max_faces_per_tile=256)
+    rgb, depth = rasterize(jnp.asarray(v), jnp.asarray(c), jnp.asarray(f), jnp.asarray(valid),
+                           jnp.asarray(gt), jnp.asarray(k, jnp.float32), setts)
+    frames_dir = ws / "frames"
+    frames_dir.mkdir()
+    props = []
+    for t in range(n_frames):
+        frame = np.asarray(rgb[t])[:h, :w]
+        mask = np.asarray(depth[t])[:h, :w] > 0
+        Image.fromarray((frame * 255).astype(np.uint8)).save(frames_dir / f"{t:06d}.png")
+        bbox = np.asarray(mask_to_bbox(jnp.asarray(mask)))
+        entry = proposal_entry(bbox, mask, "blobmesh", 0.9, 0, t, scale=scale)
+        entry["track_id"] = 0
+        props.append(entry)
+    from freepose_tpu.io.proposals_json import save_proposals
+
+    save_proposals(props, ws / "props.json")
+
+    # Template shards for the coarse estimator.
+    _run([
+        "scripts.render_templates", "--mesh-dir", str(ws / "meshes"),
+        "--filelist", str(ws / "filelist.txt"), "--out", str(ws / "shards"),
+        "--n-poses", "8", "--resolution", "84",
+    ])
+
+    # Video GT npy for eval_videos.
+    gt_dir = ws / "gt"
+    gt_dir.mkdir()
+    np.save(gt_dir / "vid_poses_id0.npy",
+            {"poses": gt, "bboxes": np.zeros((n_frames, 4)), "mesh_id": "blobmesh",
+             "focal_length": float(np.asarray(k)[0, 0])}, allow_pickle=True)
+    return ws
+
+
+def test_video_pipeline_end_to_end(video_ws):
+    ws = video_ws
+    _run([
+        "scripts.dino_inference_video", "--video-dir", str(ws / "frames"),
+        "--proposals", str(ws / "props.json"), "--wds-dir", str(ws / "shards"),
+        "--filelist", str(ws / "filelist.txt"), "--mesh-dir", str(ws / "meshes"),
+        "--out", str(ws / "vid.csv"), "--layer", "2",
+        "--n-coarse", "8", "--n-fine", "64", "--n-neighbors", "16",
+        "--neighborhood", "40",
+    ])
+    from freepose_tpu.io.bop_csv import read_results_csv
+
+    track = read_results_csv(ws / "vid.csv", t_scale=1.0)
+    assert len(track) == 5
+    assert all(np.isfinite(r.t).all() for r in track)
+    zs = [r.t[2] for r in track]
+    assert all(0.2 < z < 6.0 for z in zs), zs
+
+    _run([
+        "scripts.smooth_poses_video", "--video-dir", str(ws / "frames"),
+        "--poses", str(ws / "vid.csv"), "--mesh-dir", str(ws / "meshes"),
+        "--out", str(ws / "vid-tracked.csv"), "--interval", "3",
+    ])
+    refined = read_results_csv(ws / "vid-tracked.csv", t_scale=1.0)
+    assert len(refined) == 5
+    for r in refined:
+        np.testing.assert_allclose(r.R @ r.R.T, np.eye(3), atol=1e-3)
+
+    _run([
+        "scripts.eval_videos", "--gt-dir", str(ws / "gt"),
+        "--results-dir", str(ws),
+        "--methods", "coarse={video}.csv", "tracked={video}-tracked.csv",
+        "--width", "320", "--height", "240",
+        "--out-dir", str(ws / "tables"),
+    ])
+    import pandas as pd
+
+    rot = pd.read_csv(ws / "tables" / "results_mean.csv", index_col=0)
+    assert np.isfinite(rot.values).all()
