@@ -49,7 +49,7 @@ def main() -> None:
         cfg = DinoV2Config(hidden_size=64, num_layers=2, num_heads=4, image_size=56, dtype=jnp.bfloat16)
         layer = 2
     else:
-        cfg = dataclasses.replace(VIT_L14_REG, dtype=jnp.bfloat16)
+        cfg = dataclasses.replace(VIT_L14_REG, dtype=jnp.bfloat16, use_flash=True)
         layer = 22
     model = DinoV2(cfg)
     rng = np.random.default_rng(0)

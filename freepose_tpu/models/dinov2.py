@@ -36,6 +36,7 @@ class DinoV2Config:
     image_size: int = 518  # native grid the position embeddings were trained at
     num_registers: int = 4
     mlp_ratio: float = 4.0
+    use_flash: bool = False  # Pallas flash-attention kernel (TPU)
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -62,9 +63,14 @@ class _ScanBlock(nn.Module):
     def __call__(self, carry, _):
         x, captured, idx, target = carry
         cfg = self.config
+        attention_fn = None
+        if cfg.use_flash:
+            from freepose_tpu.ops.attention import flash_attention_fn
+
+            attention_fn = flash_attention_fn
         x = TransformerBlock(
             cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio, layerscale=True,
-            dtype=cfg.dtype, name="block",
+            dtype=cfg.dtype, attention_fn=attention_fn, name="block",
         )(x)
         captured = jnp.where(idx + 1 == target, x, captured)
         return (x, captured, idx + 1, target), None
