@@ -88,8 +88,12 @@ def flash_attention(
 ) -> jax.Array:
     b, h, n, d = q.shape
     nk = k.shape[2]
-    block_q = min(block_q, max(8, n))
-    block_k = min(block_k, max(8, nk))
+
+    def _round16(x: int) -> int:  # bf16 sublane tile is 16
+        return max(16, -(-x // 16) * 16)
+
+    block_q = min(block_q, _round16(n))
+    block_k = min(block_k, _round16(nk))
     n_pad = -(-n // block_q) * block_q
     nk_pad = -(-nk // block_k) * block_k
     d_pad = max(-(-d // 128) * 128, 128)

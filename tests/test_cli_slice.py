@@ -165,3 +165,27 @@ def test_cli_eval_bop_pose(workspace):
     assert "AR" in scores and 0.0 <= scores["AR"] <= 1.0
     assert "AR_chamfer" in scores and "AR_chamfer_proj" in scores
     assert scores["mean_time_s"] > 0
+
+
+def test_cli_extract_proposals_gt_masks(workspace):
+    """Detector-free proposal generation + retrieval against the bank."""
+    ws = workspace
+    if not (ws / "bank.npy").exists():
+        pytest.skip("bank missing (ordering)")
+    _run([
+        "scripts.extract_proposals_ground", "--dataset", str(ws / "bop"),
+        "--split", "test", "--bank", str(ws / "bank.npy"),
+        "--filelist", str(ws / "filelist.txt"), "--out-dir", str(ws),
+        "--detector", "gt-masks", "--layer", "2", "--min-mask-px", "100",
+    ])
+    from freepose_tpu.io.proposals_json import load_proposals, proposal_mask
+    from scripts.common import proposals_filename
+
+    name = proposals_filename(0.15, 0.15, "ffa", 2, 0, "bop")
+    props = load_proposals(ws / name)
+    assert len(props) == 1
+    p = props[0]
+    assert p["mesh"] in ("meshaaa", "meshbbb")
+    assert p["scene_id"] == 1 and p["image_id"] == 0
+    mask = proposal_mask(p)
+    assert mask[40, 70] and not mask[5, 5]  # matches the GT square
