@@ -52,8 +52,24 @@ def make_mesh(data: int | None = None, model: int | None = None) -> Mesh:
     return Mesh(devices.reshape(data, model), axis_names=("data", "model"))
 
 
+def pad_bank_rows(bank: np.ndarray, mesh: Mesh) -> np.ndarray:
+    """Zero-pad bank rows to a multiple of the model-axis size (real banks —
+    e.g. the 46,037-mesh Objaverse bank — don't divide evenly). Zero rows
+    score ≤ 0 against normalized queries and never enter the top-k for
+    normalized banks."""
+    n_shards = mesh.shape["model"]
+    n = bank.shape[0]
+    pad = (-n) % n_shards
+    if pad:
+        bank = np.concatenate([bank, np.zeros((pad,) + bank.shape[1:], bank.dtype)])
+    return bank
+
+
 def shard_bank(bank, mesh: Mesh):
-    """Place a [M, D] feature bank sharded along rows over the model axis."""
+    """Place a [M, D] feature bank sharded along rows over the model axis
+    (rows must be a multiple of the axis size — see pad_bank_rows)."""
+    if bank.shape[0] % mesh.shape["model"]:
+        bank = pad_bank_rows(np.asarray(bank), mesh)
     return jax.device_put(bank, NamedSharding(mesh, P("model", None)))
 
 

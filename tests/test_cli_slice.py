@@ -189,3 +189,34 @@ def test_cli_extract_proposals_gt_masks(workspace):
     assert p["scene_id"] == 1 and p["image_id"] == 0
     mask = proposal_mask(p)
     assert mask[40, 70] and not mask[5, 5]  # matches the GT square
+
+
+def test_convert_weights_cli_roundtrip(tmp_path):
+    """Torch checkpoint -> .npz -> loads into our model, matching outputs."""
+    import torch
+
+    from transformers import Dinov2WithRegistersConfig, Dinov2WithRegistersModel
+
+    torch.manual_seed(0)
+    hf = Dinov2WithRegistersModel(Dinov2WithRegistersConfig(
+        hidden_size=64, num_hidden_layers=3, num_attention_heads=4,
+        intermediate_size=256, patch_size=14, image_size=56, num_register_tokens=4,
+        layerscale_value=0.5,
+    )).eval()
+    ckpt = tmp_path / "dinov2.bin"
+    torch.save(hf.state_dict(), ckpt)
+    out = tmp_path / "dinov2.npz"
+    _run(["scripts.convert_weights", "--kind", "dinov2-hf", "--ckpt", str(ckpt),
+          "--layers", "3", "--out", str(out)])
+
+    from scripts.common import load_params
+    from freepose_tpu.models.dinov2 import VIT_TEST, DinoV2
+
+    import jax.numpy as jnp
+
+    params = load_params(out)
+    img = np.random.default_rng(0).normal(size=(1, 3, 56, 56)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.tensor(img)).last_hidden_state.numpy()
+    ours = np.asarray(DinoV2(VIT_TEST).apply({"params": params}, jnp.asarray(img)))
+    np.testing.assert_allclose(ours, ref, atol=3e-4)

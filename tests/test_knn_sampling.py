@@ -130,3 +130,18 @@ def test_roi_align_matches_oracle():
     ours = np.asarray(roi_align(jnp.asarray(img), jnp.asarray(boxes), 14, 14, sampling_ratio=2))
     ref = _roi_align_oracle(img, boxes, 14, 14, s=2)
     np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_topk_search_sharded_uneven_bank():
+    """Realistic bank sizes (46,037 rows) don't divide by the mesh — padding
+    must keep results exact."""
+    rng = np.random.default_rng(9)
+    n = 1021  # prime, not divisible by 8
+    bank = _norm(rng.normal(size=(n, 32))).astype(np.float32)
+    q = _norm(rng.normal(size=(4, 32))).astype(np.float32)
+    mesh = make_mesh(1, 8)
+    bank_sharded = shard_bank(jnp.asarray(bank), mesh)
+    s_sh, i_sh = topk_search_sharded(bank_sharded, jnp.asarray(q), 11, mesh)
+    s_ref, i_ref = topk_search(jnp.asarray(bank), jnp.asarray(q), 11)
+    np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s_ref), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_sh), np.asarray(i_ref))
