@@ -52,7 +52,16 @@ def load_dino_extractor(weights: str | None, model: str = "vitl", layer_default:
     if os.environ.get("FREEPOSE_TINY_MODELS"):
         cfg = VIT_TEST
     else:
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
         cfg = {"vitl": VIT_L14_REG, "vitb": VIT_B14_REG}[model]
+        # Production path: bf16 (the reference's inference dtype) + the Pallas
+        # flash-attention kernel on TPU (falls back to dense elsewhere).
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16 if on_tpu else cfg.dtype, use_flash=on_tpu)
     params = load_params(weights) if weights else None
     return DinoFeatureExtractor(cfg, params=params)
 
