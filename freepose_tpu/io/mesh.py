@@ -255,7 +255,12 @@ def load_ply(path: str | Path) -> TriMesh:
 def pad_mesh(mesh: TriMesh, max_vertices: int, max_faces: int) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Pad to static shapes for jit: returns (vertices [Vmax,3],
     colors [Vmax,3], faces [Fmax,3], face_valid [Fmax]). Padding faces are
-    degenerate (index 0) and masked out by `face_valid`."""
+    degenerate (index 0) and masked out by `face_valid`. Meshes over budget
+    are decimated by vertex clustering first (never silently truncated)."""
+    if mesh.num_faces > max_faces or mesh.num_vertices > max_vertices:
+        mesh = decimate_vertex_clustering(mesh, target_faces=max_faces)
+        while mesh.num_vertices > max_vertices or mesh.num_faces > max_faces:
+            mesh = decimate_vertex_clustering(mesh, target_faces=mesh.num_faces // 2)
     v = np.zeros((max_vertices, 3), np.float32)
     v[: mesh.num_vertices] = mesh.vertices[:max_vertices]
     c = np.full((max_vertices, 3), 0.7, np.float32)
@@ -267,3 +272,52 @@ def pad_mesh(mesh: TriMesh, max_vertices: int, max_faces: int) -> tuple[np.ndarr
     valid = np.zeros(max_faces, bool)
     valid[:nf] = True
     return v, c, f, valid
+
+
+def decimate_vertex_clustering(mesh: TriMesh, target_faces: int, iters: int = 8) -> TriMesh:
+    """Reduce face count by snapping vertices to a uniform grid and merging.
+
+    Production meshes (Objaverse scans) often exceed the rasterizer's static
+    face budget; pad_mesh would silently TRUNCATE them. Vertex clustering
+    preserves overall shape at a controllable budget: vertices snap to a grid
+    whose cell size is bisected/doubled until the merged mesh fits
+    `target_faces`. Colors average within a cluster; degenerate faces drop.
+    """
+    if mesh.num_faces <= target_faces:
+        return mesh
+    lo, hi = mesh.bounds()
+    extent = float((hi - lo).max())
+    cell = extent / max(np.cbrt(target_faces), 1.0)
+
+    best = None
+    for _ in range(iters):
+        keys = np.floor((mesh.vertices - lo) / max(cell, 1e-12)).astype(np.int64)
+        flat = keys[:, 0] * 73856093 ^ keys[:, 1] * 19349663 ^ keys[:, 2] * 83492791
+        uniq, inverse = np.unique(flat, return_inverse=True)
+        n_clusters = len(uniq)
+        # Cluster centroids (and colors).
+        counts = np.bincount(inverse, minlength=n_clusters).astype(np.float32)
+        verts = np.stack([
+            np.bincount(inverse, weights=mesh.vertices[:, c], minlength=n_clusters)
+            for c in range(3)
+        ], axis=1) / counts[:, None]
+        colors = None
+        if mesh.vertex_colors is not None:
+            colors = np.stack([
+                np.bincount(inverse, weights=mesh.vertex_colors[:, c], minlength=n_clusters)
+                for c in range(3)
+            ], axis=1) / counts[:, None]
+        faces = inverse[mesh.faces]
+        nondegenerate = (
+            (faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2]) & (faces[:, 0] != faces[:, 2])
+        )
+        faces = faces[nondegenerate]
+        candidate = TriMesh(verts.astype(np.float32), faces.astype(np.int32), colors)
+        if candidate.num_faces <= target_faces:
+            best = candidate
+            cell *= 0.7  # try finer for more detail within budget
+        else:
+            cell *= 1.5
+            if best is not None:
+                break
+    return best if best is not None else candidate

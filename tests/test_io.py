@@ -182,3 +182,38 @@ def test_pad_mesh():
     assert v.shape == (16, 3) and f.shape == (20, 3) and c.shape == (16, 3)
     assert valid.sum() == 12
     np.testing.assert_allclose(v[:8], m.vertices)
+
+
+def test_decimate_vertex_clustering():
+    from freepose_tpu.io.mesh import decimate_vertex_clustering
+
+    # Dense sphere: 60x60 grid -> ~7k faces; decimate to <= 1000.
+    n_lat, n_lon = 60, 60
+    verts, faces = [], []
+    for i in range(n_lat + 1):
+        th = np.pi * i / n_lat
+        for j in range(n_lon):
+            ph = 2 * np.pi * j / n_lon
+            verts.append([np.sin(th) * np.cos(ph), np.sin(th) * np.sin(ph), np.cos(th)])
+    for i in range(n_lat):
+        for j in range(n_lon):
+            a = i * n_lon + j
+            b = i * n_lon + (j + 1) % n_lon
+            c = (i + 1) * n_lon + j
+            d = (i + 1) * n_lon + (j + 1) % n_lon
+            faces.append([a, b, c])
+            faces.append([b, d, c])
+    rng = np.random.default_rng(0)
+    v = np.asarray(verts, np.float32)
+    mesh = meshio.TriMesh(v, np.asarray(faces, np.int32), rng.random((len(v), 3)).astype(np.float32))
+    dec = decimate_vertex_clustering(mesh, target_faces=1000)
+    assert 0 < dec.num_faces <= 1000
+    # Shape preserved: decimated vertices stay near the unit sphere.
+    radii = np.linalg.norm(dec.vertices, axis=1)
+    assert abs(radii.mean() - 1.0) < 0.1
+    assert dec.vertex_colors is not None and dec.vertex_colors.shape[0] == dec.num_vertices
+    # No degenerate faces.
+    f = dec.faces
+    assert ((f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2]) & (f[:, 0] != f[:, 2])).all()
+    # Small meshes pass through untouched.
+    assert decimate_vertex_clustering(dec, target_faces=10**6) is dec
