@@ -1,0 +1,22 @@
+# Common tasks. The session env pins JAX at a tunneled TPU; CPU targets
+# override it (see tests/conftest.py and .claude/skills/verify/SKILL.md).
+CPU_ENV = env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu
+
+.PHONY: test bench native clean
+
+test:
+	python -m pytest tests/ -q
+
+bench:
+	python bench.py
+
+native:
+	$(MAKE) -C csrc
+
+dryrun:
+	$(CPU_ENV) XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+	python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+clean:
+	$(MAKE) -C csrc clean
+	rm -rf .jax_cache
