@@ -123,6 +123,17 @@ class Sam2VideoPredictor:
             jax.vmap(partial(_step, points=None, labels=None, is_init=False),
                      in_axes=(None, 0, None, None, None, None, None))
         )
+
+        def _step_rev(params, state, pyramid, raw_s2, pos_s2, frame_idx, num_frames):
+            return self.model.apply(
+                {"params": params}, state=state, pyramid=pyramid, raw_s2=raw_s2, pos_s2=pos_s2,
+                frame_idx=frame_idx, num_frames=num_frames, points=None, labels=None,
+                is_init=False, reverse=True, method=Sam2VideoModel.track_step,
+            )
+
+        self._track_step_rev = jax.jit(
+            jax.vmap(_step_rev, in_axes=(None, 0, None, None, None, None, None))
+        )
         self._embed_fn = _embed
 
     # -------------------------------------------------------------- #
@@ -177,9 +188,16 @@ class Sam2VideoPredictor:
         state["n_objects"] = len(state["obj_ids"])
         return state
 
-    def propagate_in_video(self, state, start_frame_idx: int = 0, max_frames: int | None = None):
+    def propagate_in_video(
+        self, state, start_frame_idx: int = 0, max_frames: int | None = None,
+        reverse: bool = False,
+    ):
         """Generator over frames -> (frame_idx, obj_ids, low_res_masks
-        [N, g4, g4], high_res_masks [N, H, W] at ORIGINAL resolution)."""
+        [N, g4, g4], high_res_masks [N, H, W] at ORIGINAL resolution).
+
+        reverse=True propagates from the prompt frame towards frame 0 (the
+        reference's backward pass, sam2_video_predictor.py:644-726); temporal
+        offsets flip sign inside track_step so memory ordering stays causal."""
         n = state["n_objects"]
         if n == 0:
             raise ValueError("no objects added")
@@ -200,13 +218,23 @@ class Sam2VideoPredictor:
         points = jnp.asarray(np.stack([state["prompts"][i][1] for i in range(n)]))[:, None, None]
         labels = jnp.asarray(np.stack([state["prompts"][i][2] for i in range(n)]))[:, None, None]
 
-        for t in range(prompt_frame, end):
+        if reverse:
+            lo = -1 if max_frames is None else max(prompt_frame - max_frames, -1)
+            order = range(prompt_frame, lo, -1)
+        else:
+            order = range(prompt_frame, end)
+
+        for t in order:
             pyramid, pos = self._frame_pyramid(state, t)
             raw_s2, pos_s2 = pyramid[2], pos[2]
             if t == prompt_frame:
                 states, out = self._init_step(
                     self.params, states, pyramid, raw_s2, pos_s2,
                     jnp.int32(t), jnp.int32(num_frames), points, labels,
+                )
+            elif reverse:
+                states, out = self._track_step_rev(
+                    self.params, states, pyramid, raw_s2, pos_s2, jnp.int32(t), jnp.int32(num_frames)
                 )
             else:
                 states, out = self._track_step(
