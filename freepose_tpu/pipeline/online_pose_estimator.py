@@ -10,7 +10,12 @@ features, and z-lift the winner.
 TPU-first differences:
   * the variable-size `np.where(dists < 15°)` neighbourhood becomes a
     FIXED-size top-k of nearest grid poses with a distance mask — static
-    shapes end to end, so the whole refine step is jit + batched;
+    shapes end to end, so the whole refine step is jit + batched. On the
+    reference's 10k super-Fibonacci grid a 15° geodesic ball holds 9.3
+    poses on average (max 13 over 200 on-grid probes), so the default
+    n_neighbors=32 over-provisions ~2.5× past the worst case while
+    rendering 8× fewer views than a naive 256 cap; out-of-ball views are
+    masked to -inf before the argmax either way;
   * renders happen in one batched rasterizer call, not a serial GL loop
     (the reference's dominant cost, SURVEY.md §3.3);
   * masked scoring pools over the union mask at the DINOv2 patch grid
@@ -79,7 +84,7 @@ class OnlinePoseEstimator:
         renderer: TemplateRenderer | None = None,
         n_coarse_poses: int = 600,
         n_fine_poses: int = 10000,
-        n_neighbors: int = 256,
+        n_neighbors: int = 32,
         rendering_scale: float = RENDERING_SCALE,
     ):
         self.coarse = CoarsePoseEstimator(feature_fn, bank, n_poses=n_coarse_poses)

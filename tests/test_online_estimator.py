@@ -50,6 +50,18 @@ def test_select_neighborhood_static_shapes():
     assert (np.diff(d) >= -1e-3).all()
 
 
+def test_default_neighbor_cap_covers_15deg_ball():
+    """The static n_neighbors=32 default must contain EVERY grid pose within
+    15 deg on the production 10k fine grid (measured max 13), otherwise the
+    top-k silently truncates the reference's `dists < 15` neighbourhood."""
+    poses = template_poses(10000)
+    rots = np.asarray(poses[:, :3, :3])
+    rng = np.random.default_rng(1)
+    for i in rng.integers(0, 10000, size=25):
+        d = np.asarray(geodesic_distance(jnp.asarray(rots), jnp.asarray(rots[i])))
+        assert (d < 15.0).sum() <= 32
+
+
 @pytest.fixture(scope="module")
 def setup():
     fe = DinoFeatureExtractor(CFG)
