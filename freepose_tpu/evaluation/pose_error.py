@@ -1,10 +1,12 @@
 """BOP pose-error functions, TPU-resident.
 
 Functional equivalents of the vendored bop_toolkit error set
-(bop_toolkit/bop_toolkit_lib/pose_error.py): vsd-lite/cus, mssd, mspd, add,
+(bop_toolkit/bop_toolkit_lib/pose_error.py): vsd, cus, mssd, mspd, add,
 adi, re, te, proj, cou_bb, plus the repo's custom retrieval-aware errors
 chamfer / chamfer_proj (pose_error.py:143-237 — needed because retrieved
-meshes differ from GT meshes).
+meshes differ from GT meshes). The VSD visibility masks
+(bop_toolkit_lib/visibility.py:9-80, mode bop19) and depth→distance image
+conversion (misc.py:146-165) run as one jit program per estimate.
 
 The reference computes nearest neighbours with sklearn KDTree per estimate
 (pose_error.py:169-182); here chamfer NN is an exact pairwise-distance
@@ -165,6 +167,77 @@ class MaskRenderer:
         pose = jnp.eye(4).at[:3, :3].set(jnp.asarray(r)).at[:3, 3].set(jnp.asarray(t).reshape(3))
         _, depth = rasterize(v, c, f, valid, pose[None], jnp.asarray(k, jnp.float32), self.settings)
         return np.asarray(depth[0, : self.height, : self.width])
+
+
+@jax.jit
+def depth_im_to_dist_im(depth: jax.Array, k: jax.Array) -> jax.Array:
+    """Depth (Z) image -> distance-from-camera-center image (reference
+    misc.py:146-165); zeros stay zero."""
+    h, w = depth.shape
+    xs = (jnp.arange(w, dtype=jnp.float32) - k[0, 2]) / k[0, 0]
+    ys = (jnp.arange(h, dtype=jnp.float32) - k[1, 2]) / k[1, 1]
+    scale = jnp.sqrt(xs[None, :] ** 2 + ys[:, None] ** 2 + 1.0)
+    return depth.astype(jnp.float32) * scale
+
+
+def _visib_mask_bop19(d_test: jax.Array, d_model: jax.Array, delta) -> jax.Array:
+    """bop19 visibility: model surface counts as visible where the scene has
+    no depth reading (reference visibility.py:34-39)."""
+    d_diff = d_model - d_test
+    return ((d_diff <= delta) | (d_test == 0)) & (d_model > 0)
+
+
+@partial(jax.jit, static_argnames=("taus", "cost_type", "normalized_by_diameter"))
+def _vsd_jit(depth_test, depth_gt, depth_est, k, delta, diameter, taus,
+             cost_type, normalized_by_diameter):
+    dist_test = depth_im_to_dist_im(depth_test, k)
+    dist_gt = depth_im_to_dist_im(depth_gt, k)
+    dist_est = depth_im_to_dist_im(depth_est, k)
+
+    visib_gt = _visib_mask_bop19(dist_test, dist_gt, delta)
+    # Estimated-pose visibility additionally keeps pixels occluded in the
+    # estimate but visible in GT (reference visibility.py:60-79, eq. 14).
+    visib_est = _visib_mask_bop19(dist_test, dist_est, delta)
+    visib_est = visib_est | (visib_gt & (dist_est > 0))
+
+    inter = visib_gt & visib_est
+    union = visib_gt | visib_est
+    union_count = union.sum()
+    comp_count = union_count - inter.sum()
+
+    dists = jnp.abs(dist_gt - dist_est)
+    if normalized_by_diameter:
+        dists = dists / diameter
+
+    errors = []
+    for tau in taus:
+        if cost_type == "step":
+            costs = (dists >= tau).astype(jnp.float32)
+        else:  # tlinear (Hodan ECCVW'16)
+            costs = jnp.minimum(dists / tau, 1.0)
+        cost_sum = jnp.sum(jnp.where(inter, costs, 0.0))
+        e = (cost_sum + comp_count) / jnp.maximum(union_count, 1).astype(jnp.float32)
+        errors.append(jnp.where(union_count == 0, 1.0, e))
+    return jnp.stack(errors)
+
+
+def vsd(
+    r_est, t_est, r_gt, t_gt, depth_test, k, delta, taus,
+    normalized_by_diameter, diameter, renderer: "MaskRenderer", inf_id, gt_id,
+    cost_type: str = "step",
+) -> list[float]:
+    """Visible Surface Discrepancy (reference pose_error.py:17-113): renders
+    est/GT depth with the TPU rasterizer, estimates bop19 visibility masks
+    against the test depth, and scores per misalignment tolerance tau."""
+    depth_est = renderer.render_depth(inf_id, r_est, t_est, k)
+    depth_gt = renderer.render_depth(gt_id, r_gt, t_gt, k)
+    errs = _vsd_jit(
+        jnp.asarray(depth_test, jnp.float32), jnp.asarray(depth_gt, jnp.float32),
+        jnp.asarray(depth_est, jnp.float32), jnp.asarray(k, jnp.float32),
+        float(delta), float(diameter), tuple(float(t) for t in taus),
+        cost_type, bool(normalized_by_diameter),
+    )
+    return [float(e) for e in errs]
 
 
 def cus(r_est, t_est, r_gt, t_gt, k, renderer: MaskRenderer, inf_id, gt_id) -> float:

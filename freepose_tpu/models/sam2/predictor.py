@@ -35,6 +35,19 @@ def prepare_image(image: jax.Array, size: int) -> jax.Array:
     return sam2_normalize(resized[None])
 
 
+@jax.jit
+def apply_non_overlapping_constraints(pred_masks: jax.Array) -> jax.Array:
+    """Keep only the highest-scoring object per pixel; suppressed scores clamp
+    to <= -10 (sigmoid ~ 4.5e-5), reference sam2_base.py:811-829. Input
+    [N, ..., H, W] logits with objects on the leading axis."""
+    if pred_masks.shape[0] == 1:
+        return pred_masks
+    keep = jnp.argmax(pred_masks, axis=0, keepdims=True) == jnp.arange(
+        pred_masks.shape[0]
+    ).reshape(-1, *([1] * (pred_masks.ndim - 1)))
+    return jnp.where(keep, pred_masks, jnp.minimum(pred_masks, -10.0))
+
+
 def scale_coords(coords: jax.Array, orig_hw: tuple[int, int], size: int) -> jax.Array:
     """Pixel coords in the original image -> model input coords."""
     h, w = orig_hw
@@ -190,7 +203,7 @@ class Sam2VideoPredictor:
 
     def propagate_in_video(
         self, state, start_frame_idx: int = 0, max_frames: int | None = None,
-        reverse: bool = False,
+        reverse: bool = False, non_overlap_masks: bool = False,
     ):
         """Generator over frames -> (frame_idx, obj_ids, low_res_masks
         [N, g4, g4], high_res_masks [N, H, W] at ORIGINAL resolution).
@@ -240,6 +253,11 @@ class Sam2VideoPredictor:
                 states, out = self._track_step(
                     self.params, states, pyramid, raw_s2, pos_s2, jnp.int32(t), jnp.int32(num_frames)
                 )
-            low = np.asarray(out["pred_masks"][:, 0])  # [N, g4, g4]
-            high = np.asarray(resize_bilinear(out["high_res_masks"][:, 0], state["orig_hw"]))
-            yield t, list(state["obj_ids"]), low, high
+            low_j = out["pred_masks"][:, 0]  # [N, g4, g4]
+            high_j = resize_bilinear(out["high_res_masks"][:, 0], state["orig_hw"])
+            if non_overlap_masks and n > 1:
+                # Per-pixel winner-take-all across objects (reference
+                # sam2_base.py:811-829, enabled via non_overlap_masks).
+                low_j = apply_non_overlapping_constraints(low_j)
+                high_j = apply_non_overlapping_constraints(high_j)
+            yield t, list(state["obj_ids"]), np.asarray(low_j), np.asarray(high_j)

@@ -100,6 +100,90 @@ def test_cus_with_tpu_renderer():
     assert pe.cus(r, t, r, t2, k, ren, "a", "a") > 0.95
 
 
+def _np_vsd_oracle(depth_test, depth_gt, depth_est, k, delta, taus, diameter,
+                   cost_type="step", normalized=True):
+    """Numpy oracle coded directly against the VSD spec (Hodan et al. ECCV'18,
+    bop19 visibility): distance images, visibility masks, per-tau costs."""
+    h, w = depth_test.shape
+    xs = (np.arange(w) - k[0, 2]) / k[0, 0]
+    ys = (np.arange(h) - k[1, 2]) / k[1, 1]
+    scale = np.sqrt(xs[None, :] ** 2 + ys[:, None] ** 2 + 1.0)
+    d_test, d_gt, d_est = (d * scale for d in (depth_test, depth_gt, depth_est))
+
+    def visib(d_model):
+        return np.logical_and(
+            np.logical_or(d_model - d_test <= delta, d_test == 0), d_model > 0
+        )
+
+    v_gt = visib(d_gt)
+    v_est = np.logical_or(visib(d_est), np.logical_and(v_gt, d_est > 0))
+    inter, union = v_gt & v_est, v_gt | v_est
+    if union.sum() == 0:
+        return [1.0] * len(taus)
+    dists = np.abs(d_gt[inter] - d_est[inter])
+    if normalized:
+        dists = dists / diameter
+    comp = union.sum() - inter.sum()
+    out = []
+    for tau in taus:
+        costs = (dists >= tau) if cost_type == "step" else np.minimum(dists / tau, 1.0)
+        out.append((costs.sum() + comp) / union.sum())
+    return out
+
+
+def test_vsd_matches_numpy_oracle():
+    rng = np.random.default_rng(0)
+    h, w = 48, 64
+    k = np.array([[80.0, 0, 32], [0, 80, 24], [0, 0, 1]])
+    # Synthetic depths: overlapping blobs + missing-depth pixels in the scene.
+    depth_gt = np.zeros((h, w), np.float32)
+    depth_gt[10:30, 15:40] = 0.6
+    depth_est = np.zeros((h, w), np.float32)
+    depth_est[12:32, 20:45] = 0.62
+    depth_test = depth_gt + rng.normal(0, 0.002, (h, w)).astype(np.float32)
+    depth_test[depth_gt == 0] = 0.9  # background surface
+    depth_test[5:8, :] = 0.0  # sensor holes
+
+    taus = (0.01, 0.05, 0.2)
+    for cost in ("step", "tlinear"):
+        oracle = _np_vsd_oracle(depth_test, depth_gt, depth_est, k, 0.015, taus,
+                                diameter=0.1, cost_type=cost)
+        import jax.numpy as jnp
+
+        got = pe._vsd_jit(
+            jnp.asarray(depth_test), jnp.asarray(depth_gt), jnp.asarray(depth_est),
+            jnp.asarray(k, jnp.float32), 0.015, 0.1, taus, cost, True,
+        )
+        np.testing.assert_allclose(np.asarray(got), oracle, atol=2e-4)
+
+
+def test_vsd_end_to_end_with_renderer():
+    h = 0.05
+    v = np.array([[-h, -h, -h], [h, -h, -h], [h, h, -h], [-h, h, -h],
+                  [-h, -h, h], [h, -h, h], [h, h, h], [-h, h, h]], np.float32)
+    f = np.array([[0, 1, 2], [0, 2, 3], [4, 6, 5], [4, 7, 6], [0, 4, 5], [0, 5, 1],
+                  [1, 5, 6], [1, 6, 2], [2, 6, 7], [2, 7, 3], [3, 7, 4], [3, 4, 0]], np.int32)
+    ren = pe.MaskRenderer(160, 128, max_vertices=16, max_faces=16)
+    ren.add_object("a", TriMesh(v, f))
+    k = np.array([[150.0, 0, 80], [0, 150, 64], [0, 0, 1]])
+    r, t = np.eye(3), np.array([0.0, 0, 0.6])
+    depth_test = ren.render_depth("a", r, t, k)
+
+    # Perfect estimate: all errors 0 at every tau.
+    errs = pe.vsd(r, t, r, t, depth_test, k, delta=0.015, taus=[0.05, 0.2, 0.5],
+                  normalized_by_diameter=True, diameter=2 * h * np.sqrt(3),
+                  renderer=ren, inf_id="a", gt_id="a")
+    assert all(e < 1e-6 for e in errs)
+
+    # Shifted estimate: error decreases with growing tolerance tau.
+    t2 = t + [0.02, 0, 0]
+    errs2 = pe.vsd(r, t2, r, t, depth_test, k, delta=0.015, taus=[0.05, 0.2, 0.5],
+                   normalized_by_diameter=True, diameter=2 * h * np.sqrt(3),
+                   renderer=ren, inf_id="a", gt_id="a")
+    assert errs2[0] >= errs2[1] >= errs2[2]
+    assert errs2[0] > 0.1
+
+
 def test_matching_and_recall():
     # 2 GTs; est0 (high score) matches gt0 well, est1 matches gt1 at 0.3.
     frame = [

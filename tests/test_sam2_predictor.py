@@ -101,6 +101,39 @@ def test_video_vmapped_matches_sequential(video_predictor):
         np.testing.assert_allclose(both[t][1], solo1[t][0], atol=1e-4)
 
 
+def test_non_overlapping_constraints():
+    """Per-pixel winner-take-all (reference sam2_base.py:811-829): only the
+    argmax object keeps its score; everyone else clamps to <= -10."""
+    from freepose_tpu.models.sam2.predictor import apply_non_overlapping_constraints
+
+    rng = np.random.default_rng(0)
+    masks = jnp.asarray(rng.normal(size=(3, 8, 8)).astype(np.float32)) * 5
+    out = np.asarray(apply_non_overlapping_constraints(masks))
+    win = np.argmax(np.asarray(masks), axis=0)
+    for i in range(3):
+        kept = win == i
+        np.testing.assert_array_equal(out[i][kept], np.asarray(masks)[i][kept])
+        assert (out[i][~kept] <= -10.0).all()
+    # Clamp is min(score, -10): already-lower scores pass through unchanged.
+    low = np.asarray(masks)[0][~(win == 0)]
+    np.testing.assert_array_equal(out[0][~(win == 0)], np.minimum(low, -10.0))
+    # Single object: unchanged.
+    one = masks[:1]
+    np.testing.assert_array_equal(np.asarray(apply_non_overlapping_constraints(one)), one)
+
+
+def test_video_propagation_non_overlap_flag(video_predictor):
+    rng = np.random.default_rng(5)
+    frames = (rng.random((2, 48, 80, 3)) * 255).astype(np.uint8)
+    state = video_predictor.init_state(frames)
+    state = video_predictor.add_new_points_or_box(state, 0, obj_id=1, box=np.array([5, 5, 40, 40]))
+    state = video_predictor.add_new_points_or_box(state, 0, obj_id=2, box=np.array([10, 10, 45, 45]))
+    for t, _, low, high in video_predictor.propagate_in_video(state, non_overlap_masks=True):
+        # At most one object above the suppression clamp per pixel.
+        assert ((low > -10.0).sum(axis=0) <= 1).all()
+        assert ((high > -10.0).sum(axis=0) <= 1).all()
+
+
 def test_video_reverse_propagation(video_predictor):
     """Prompt on a middle frame, track back towards frame 0 (reference
     sam2_video_predictor.py:644-726 reverse pass)."""
