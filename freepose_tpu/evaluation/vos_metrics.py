@@ -64,12 +64,15 @@ def boundary_f_measure(pred: np.ndarray, gt: np.ndarray, tolerance: float | None
     return float(2 * precision * recall / (precision + recall))
 
 
-def track_j_and_f(pred_masks: np.ndarray, gt_masks: np.ndarray) -> dict:
+def track_j_and_f(
+    pred_masks: np.ndarray, gt_masks: np.ndarray, skip_first_and_last: bool = True
+) -> dict:
     """[T, H, W] predicted vs GT masks -> {"J", "F", "J&F"} means over the
-    track (first and last frames excluded like the DAVIS protocol when the
-    track is long enough)."""
+    track (first and last frames excluded like the DAVIS/SA-V protocol when
+    the track is long enough; reference sav_evaluator.py:75-80 exposes the
+    same toggle)."""
     t = len(pred_masks)
-    idx = range(1, t - 1) if t > 2 else range(t)
+    idx = range(1, t - 1) if (skip_first_and_last and t > 2) else range(t)
     js = [jaccard(pred_masks[i], gt_masks[i]) for i in idx]
     fs = [boundary_f_measure(pred_masks[i], gt_masks[i]) for i in idx]
     j, f = float(np.mean(js)), float(np.mean(fs))
