@@ -360,3 +360,97 @@ def _conv_gd(sd, p):
         "kernel": _t(sd[f"{p}.weight"]).transpose(2, 3, 1, 0),
         "bias": _t(sd[f"{p}.bias"]),
     }
+
+
+def _conv(sd, p, bias=True):
+    out = {"kernel": _t(sd[f"{p}.weight"]).transpose(2, 3, 1, 0)}
+    if bias:
+        out["bias"] = _t(sd[f"{p}.bias"])
+    return out
+
+
+def zoedepth_from_hf(sd: dict, num_layers: int = 24, reassemble_factors=(4, 2, 1, 0.5)) -> dict:
+    """HF ZoeDepthForDepthEstimation state dict -> ZoeDepthModel Flax params.
+
+    Covers the single-domain checkpoints (ZoeD_N layout; Intel/zoedepth-nyu):
+    BEiT backbone with per-layer relative-position-bias tables, DPT
+    reassemble/fusion neck, relative head, and the metric-bins head. Fusion
+    layer 0's residual_layer1 exists in the torch checkpoint but is
+    structurally unused (no skip input on the deepest level) and is skipped.
+    """
+    params: dict = {}
+
+    # --- BEiT backbone (nn.scan stack) -------------------------------- #
+    bb = "backbone"
+    layers = []
+    for i in range(num_layers):
+        p = f"{bb}.encoder.layer.{i}"
+        layers.append({
+            "block": {
+                "rel_pos_table": _t(
+                    sd[f"{p}.attention.attention.relative_position_bias.relative_position_bias_table"]
+                ),
+                "ln1": _layernorm(sd, f"{p}.layernorm_before"),
+                "ln2": _layernorm(sd, f"{p}.layernorm_after"),
+                "q": _dense(sd, f"{p}.attention.attention.query"),
+                "k": {"kernel": _t(sd[f"{p}.attention.attention.key.weight"]).T},
+                "v": _dense(sd, f"{p}.attention.attention.value"),
+                "proj": _dense(sd, f"{p}.attention.output.dense"),
+                "fc1": _dense(sd, f"{p}.intermediate.dense"),
+                "fc2": _dense(sd, f"{p}.output.dense"),
+                "lambda_1": _t(sd[f"{p}.lambda_1"]),
+                "lambda_2": _t(sd[f"{p}.lambda_2"]),
+            }
+        })
+    params["backbone"] = {
+        "patch_embed": _conv(sd, f"{bb}.embeddings.patch_embeddings.projection"),
+        "cls_token": _t(sd[f"{bb}.embeddings.cls_token"]),
+        "blocks": stack_layers(layers),
+    }
+
+    # --- Reassemble + neck convs -------------------------------------- #
+    rs = "neck.reassemble_stage"
+    reassemble: dict = {}
+    for i, factor in enumerate(reassemble_factors):
+        reassemble[f"readout{i}"] = _dense(sd, f"{rs}.readout_projects.{i}.0")
+        reassemble[f"proj{i}"] = _conv(sd, f"{rs}.layers.{i}.projection")
+        if factor > 1:
+            reassemble[f"resize{i}_w"] = _t(sd[f"{rs}.layers.{i}.resize.weight"])
+            reassemble[f"resize{i}_b"] = _t(sd[f"{rs}.layers.{i}.resize.bias"])
+        elif factor < 1:
+            reassemble[f"resize{i}"] = _conv(sd, f"{rs}.layers.{i}.resize")
+    params["reassemble"] = reassemble
+    for i in range(4):
+        params[f"neck_conv{i}"] = _conv(sd, f"neck.convs.{i}", bias=False)
+
+    # --- Fusion pyramid ------------------------------------------------ #
+    def _res_unit(p):
+        return {"conv1": _conv(sd, f"{p}.convolution1"), "conv2": _conv(sd, f"{p}.convolution2")}
+
+    for i in range(4):
+        p = f"neck.fusion_stage.layers.{i}"
+        layer = {"proj": _conv(sd, f"{p}.projection"), "res2": _res_unit(f"{p}.residual_layer2")}
+        if i > 0:  # layer 0 has no skip input; its res1 weights are dead
+            layer["res1"] = _res_unit(f"{p}.residual_layer1")
+        params[f"fusion{i}"] = layer
+
+    # --- Relative head -------------------------------------------------- #
+    params["rel_conv1"] = _conv(sd, "relative_head.conv1")
+    params["rel_conv2"] = _conv(sd, "relative_head.conv2")
+    params["rel_conv3"] = _conv(sd, "relative_head.conv3")
+
+    # --- Metric-bins head ------------------------------------------------ #
+    mh = "metric_head"
+    params["mh_conv2"] = _conv(sd, f"{mh}.conv2")
+    params["seed_bin"] = {"conv1": _conv(sd, f"{mh}.seed_bin_regressor.conv1"),
+                          "conv2": _conv(sd, f"{mh}.seed_bin_regressor.conv2")}
+    params["seed_proj"] = {"conv1": _conv(sd, f"{mh}.seed_projector.conv1"),
+                           "conv2": _conv(sd, f"{mh}.seed_projector.conv2")}
+    for i in range(4):
+        params[f"mh_proj{i}"] = {"conv1": _conv(sd, f"{mh}.projectors.{i}.conv1"),
+                                 "conv2": _conv(sd, f"{mh}.projectors.{i}.conv2")}
+        params[f"attractor{i}"] = {"conv1": _conv(sd, f"{mh}.attractors.{i}.conv1"),
+                                   "conv2": _conv(sd, f"{mh}.attractors.{i}.conv2")}
+    params["clb"] = {"mlp1": _conv(sd, f"{mh}.conditional_log_binomial.mlp.0"),
+                     "mlp2": _conv(sd, f"{mh}.conditional_log_binomial.mlp.2")}
+    return params

@@ -501,6 +501,12 @@ class GroundingDinoDetector:
 
             self.tokenizer = WordPieceTokenizer(vocab_path)
 
+        @jax.jit
+        def _fwd(params, img, ids, sa, pos, pad):
+            return self.model.apply({"params": params}, img, ids, sa, pos, pad)
+
+        self._fwd = _fwd
+
     @classmethod
     def from_weights(cls, weights_path: str | None, config: GroundingDinoConfig | None = None):
         import os
@@ -522,36 +528,60 @@ class GroundingDinoDetector:
             )["params"]
         return cls(cfg, params)
 
-    def detect(self, image: np.ndarray, input_ids: np.ndarray | None = None,
-               text: str = "objects.", box_threshold: float = 0.15, text_threshold: float = 0.15):
-        """image [H, W, 3] -> (boxes xyxy pixels [N, 4], scores [N])."""
+    def _prompt_ids(self, input_ids, text: str) -> np.ndarray:
+        if input_ids is not None:
+            return np.asarray(input_ids)
+        if self.tokenizer is not None:
+            return np.asarray([self.tokenizer.encode(text)])
+        # Placeholder prompt ids when no WordPiece vocab is wired.
+        return np.array([[101, 103, 1012, 102]])
+
+    def _prepare(self, image: np.ndarray) -> jax.Array:
         from freepose_tpu.ops.sampling import resize_bilinear
 
-        h, w = image.shape[:2]
-        if input_ids is None:
-            if self.tokenizer is not None:
-                input_ids = np.asarray([self.tokenizer.encode(text)])
-            else:
-                # Placeholder prompt ids when no WordPiece vocab is wired.
-                input_ids = np.array([[101, 103, 1012, 102]])
-        sa, pos = text_token_masks(np.asarray(input_ids))
-        pad = np.zeros(input_ids.shape, bool)
         img = jnp.asarray(image, jnp.float32) / (255.0 if image.dtype == np.uint8 else 1.0)
         mean = jnp.asarray([0.485, 0.456, 0.406]).reshape(3, 1, 1)
         std = jnp.asarray([0.229, 0.224, 0.225]).reshape(3, 1, 1)
-        img = (resize_bilinear(img.transpose(2, 0, 1), (self.image_size, self.image_size)) - mean) / std
-        logits, boxes = self.model.apply(
-            {"params": self.params}, img[None], jnp.asarray(input_ids),
-            jnp.asarray(sa), jnp.asarray(pos), jnp.asarray(pad),
+        return (resize_bilinear(img.transpose(2, 0, 1), (self.image_size, self.image_size)) - mean) / std
+
+    def detect(self, image: np.ndarray, input_ids: np.ndarray | None = None,
+               text: str = "objects.", box_threshold: float = 0.15, text_threshold: float = 0.15):
+        """image [H, W, 3] -> (boxes xyxy pixels [N, 4], scores [N])."""
+        return self.detect_batch([image], input_ids, text, box_threshold)[0]
+
+    def detect_batch(self, images, input_ids: np.ndarray | None = None,
+                     text: str = "objects.", box_threshold: float = 0.15):
+        """Batched detection: list of [H, W, 3] images sharing one text
+        prompt -> list of (boxes xyxy pixels [N_i, 4], scores [N_i]). One jit
+        dispatch for the whole batch (the reference runs HF GroundingDINO one
+        image at a time, extract_proposals_ground.py:48-75); only the
+        variable-count thresholding happens on host."""
+        ids = self._prompt_ids(input_ids, text)
+        sa, pos = text_token_masks(ids)
+        pad = np.zeros(ids.shape, bool)
+        batch = jnp.stack([self._prepare(img) for img in images])
+        n = len(images)
+        ids_b = np.repeat(ids, n, axis=0) if ids.shape[0] == 1 and n > 1 else ids
+        sa_b = np.repeat(sa, n, axis=0) if sa.shape[0] == 1 and n > 1 else sa
+        pos_b = np.repeat(pos, n, axis=0) if pos.shape[0] == 1 and n > 1 else pos
+        pad_b = np.repeat(pad, n, axis=0) if pad.shape[0] == 1 and n > 1 else pad
+        logits, boxes = self._fwd(
+            self.params, batch, jnp.asarray(ids_b), jnp.asarray(sa_b),
+            jnp.asarray(pos_b), jnp.asarray(pad_b),
         )
-        probs = jax.nn.sigmoid(logits)[0]  # [Q, max_text]
-        scores = np.asarray(jnp.max(jnp.where(jnp.isfinite(logits[0]), probs, 0.0), axis=-1))
-        keep = scores > box_threshold
-        cxcywh = np.asarray(boxes[0])[keep]
-        xyxy = np.stack([
-            (cxcywh[:, 0] - cxcywh[:, 2] / 2) * w,
-            (cxcywh[:, 1] - cxcywh[:, 3] / 2) * h,
-            (cxcywh[:, 0] + cxcywh[:, 2] / 2) * w,
-            (cxcywh[:, 1] + cxcywh[:, 3] / 2) * h,
-        ], axis=1)
-        return xyxy, scores[keep]
+        probs = jax.nn.sigmoid(logits)
+        all_scores = np.asarray(jnp.max(jnp.where(jnp.isfinite(logits), probs, 0.0), axis=-1))
+        out = []
+        for i, image in enumerate(images):
+            h, w = image.shape[:2]
+            scores = all_scores[i]
+            keep = scores > box_threshold
+            cxcywh = np.asarray(boxes[i])[keep]
+            xyxy = np.stack([
+                (cxcywh[:, 0] - cxcywh[:, 2] / 2) * w,
+                (cxcywh[:, 1] - cxcywh[:, 3] / 2) * h,
+                (cxcywh[:, 0] + cxcywh[:, 2] / 2) * w,
+                (cxcywh[:, 1] + cxcywh[:, 3] / 2) * h,
+            ], axis=1) if keep.any() else np.zeros((0, 4), np.float32)
+            out.append((xyxy, scores[keep]))
+        return out

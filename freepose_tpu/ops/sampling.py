@@ -56,6 +56,31 @@ def resize_bilinear(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     return left * (1 - wx) + right * wx
 
 
+def resize_bilinear_ac(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+    """Bilinear resize of [..., H, W] matching torch F.interpolate with
+    align_corners=True (corner samples map to corners; used by the DPT-style
+    fusion upsample and the ZoeDepth bin interpolations)."""
+    h, w = img.shape[-2], img.shape[-1]
+    oh, ow = out_hw
+    ys = jnp.arange(oh, dtype=jnp.float32) * ((h - 1) / max(oh - 1, 1))
+    xs = jnp.arange(ow, dtype=jnp.float32) * ((w - 1) / max(ow - 1, 1))
+    y0 = jnp.clip(jnp.floor(ys), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xs), 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    wy = jnp.clip(ys - y0, 0.0, 1.0)
+    wx = jnp.clip(xs - x0, 0.0, 1.0)
+    y0i, y1i, x0i, x1i = (a.astype(jnp.int32) for a in (y0, y1, x0, x1))
+
+    img_f = img.astype(jnp.float32)
+    top = img_f[..., y0i, :]
+    bot = img_f[..., y1i, :]
+    rows = top * (1 - wy)[..., :, None] + bot * wy[..., :, None]
+    left = rows[..., :, x0i]
+    right = rows[..., :, x1i]
+    return left * (1 - wx) + right * wx
+
+
 @partial(jax.jit, static_argnames=("grid",))
 def ffa_pool(patch_feats: jax.Array, masks: jax.Array, grid: int = 30) -> jax.Array:
     """Foreground-feature-averaging: masked mean of patch tokens.

@@ -37,6 +37,7 @@ def main() -> None:
     ap.add_argument("--kind", required=True, choices=[
         "dinov2-hub", "dinov2-hf", "clip-openclip", "clip-hf",
         "swin-hf", "bert-hf", "grounding-dino-hf", "sam2-image-hf", "sam2-video-hf",
+        "zoedepth-hf",
     ])
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--out", required=True)
@@ -65,6 +66,8 @@ def main() -> None:
             sd, swin_depths=args.swin_depths, swin_out_stages=[1, 2, 3],
             text_layers=args.text_layers,
         )
+    elif args.kind == "zoedepth-hf":
+        params = C.zoedepth_from_hf(sd, num_layers=args.layers)
     elif args.kind == "sam2-image-hf":
         params = S.sam2_image_model_from_hf(sd, total_blocks=args.total_blocks)
     elif args.kind == "sam2-video-hf":

@@ -107,3 +107,16 @@ def test_detector_api(tiny_model, monkeypatch):
     boxes, scores = det.detect(image, input_ids=np.array([[101, 5, 6, 1012, 102]]), box_threshold=0.0)
     assert boxes.shape[1] == 4 and len(boxes) == len(scores)
     assert len(boxes) > 0  # threshold 0 keeps everything
+
+    # Batched path: one jit dispatch, results identical to per-image calls.
+    image2 = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+    ids = np.array([[101, 5, 6, 1012, 102]])
+    batched = det.detect_batch([image, image2], input_ids=ids, box_threshold=0.0)
+    solo2 = det.detect(image2, input_ids=ids, box_threshold=0.0)
+    np.testing.assert_allclose(batched[0][0], boxes, atol=1e-4)
+    np.testing.assert_allclose(batched[1][0], solo2[0], atol=1e-4)
+    np.testing.assert_allclose(batched[0][1], scores, atol=1e-5)
+
+    # Probe: nothing above an impossible threshold -> empty [0, 4] boxes.
+    none_boxes, none_scores = det.detect(image, input_ids=ids, box_threshold=2.0)
+    assert none_boxes.shape == (0, 4) and none_scores.shape == (0,)
