@@ -83,3 +83,21 @@ def test_prefetcher_order_and_error(tmp_path):
     assert list(Prefetcher(DS(), [0, 1, 2])) == [0, 2, 4]
     with pytest.raises(ValueError):
         list(Prefetcher(DS(), [0, 99]))
+
+
+def test_bop_dataset_params(tmp_path):
+    from freepose_tpu.datasets.bop_params import get_dataset_params
+
+    p = get_dataset_params(tmp_path, "ycbv")
+    assert p.obj_ids == list(range(1, 22))
+    assert p.test_scene_ids == list(range(48, 60))
+    assert p.im_size == (640, 480)
+    assert 13 in p.symmetric_obj_ids
+    assert p.models_info_path == tmp_path / "ycbv/models/models_info.json"
+    # tless defaults to CAD models (reference dataset_params.py:113-114).
+    t = get_dataset_params(tmp_path, "tless")
+    assert t.models_path.name == "models_cad"
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        get_dataset_params(tmp_path, "nope")

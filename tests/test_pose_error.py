@@ -197,3 +197,48 @@ def test_matching_and_recall():
     assert average_recall(per_frame, np.array([0.15])) == 0.5
     out = bop19_average_recalls({"chamfer": per_frame})
     assert 0 < out["AR_chamfer"] <= 1.0 and out["AR"] == out["AR_chamfer"]
+
+
+def test_symmetry_transformations():
+    from scipy.spatial.transform import Rotation as R
+
+    from freepose_tpu.evaluation.symmetry import get_symmetry_transformations
+
+    # No symmetry: identity only.
+    syms = get_symmetry_transformations({})
+    assert len(syms) == 1
+    np.testing.assert_allclose(syms[0]["R"], np.eye(3))
+
+    # Discrete z-flip (4x4 flattened).
+    flip = np.eye(4)
+    flip[:3, :3] = R.from_rotvec([0, 0, np.pi]).as_matrix()
+    syms = get_symmetry_transformations({"symmetries_discrete": [flip.reshape(-1).tolist()]})
+    assert len(syms) == 2
+    np.testing.assert_allclose(syms[1]["R"], flip[:3, :3], atol=1e-12)
+
+    # Continuous z-axis with offset: step count = ceil(pi / step); every
+    # element maps the offset point to itself (t = -R@o + o).
+    info = {"symmetries_continuous": [{"axis": [0, 0, 1], "offset": [1.0, 2.0, 3.0]}]}
+    syms = get_symmetry_transformations(info, max_sym_disc_step=0.5)
+    assert len(syms) == int(np.ceil(np.pi / 0.5))
+    o = np.array([[1.0], [2.0], [3.0]])
+    for s in syms:
+        np.testing.assert_allclose(s["R"] @ o + s["t"], o, atol=1e-12)
+        # Rotation really is about z.
+        np.testing.assert_allclose(s["R"] @ np.array([0.0, 0, 1]), [0, 0, 1], atol=1e-12)
+
+    # Combined: discrete x continuous composes (reference misc.py:80-89).
+    info["symmetries_discrete"] = [flip.reshape(-1).tolist()]
+    both = get_symmetry_transformations(info, max_sym_disc_step=0.5)
+    assert len(both) == 2 * len(syms)
+
+    # mssd with the continuous set: rotation about z scores ~0 on a z-ring.
+    ang = np.linspace(0, 2 * np.pi, 256, endpoint=False)
+    ring = np.stack([np.cos(ang) * 0.05, np.sin(ang) * 0.05, np.zeros_like(ang)], 1)
+    syms_fine = get_symmetry_transformations(
+        {"symmetries_continuous": [{"axis": [0, 0, 1], "offset": [0, 0, 0]}]}, 0.05
+    )
+    r_est = R.from_rotvec([0, 0, 0.8]).as_matrix()
+    t = np.array([0.0, 0, 0.5])
+    syms_fmt = [{"R": s["R"], "t": s["t"].reshape(3)} for s in syms_fine]
+    assert pe.mssd(r_est, t, np.eye(3), t, ring, ring, syms=syms_fmt) < 5e-3
