@@ -166,6 +166,20 @@ def test_cli_eval_bop_pose(workspace):
     assert "AR_chamfer" in scores and "AR_chamfer_proj" in scores
     assert scores["mean_time_s"] > 0
 
+    # Full BOP19 error set: vsd (tau sweep folded into one AR) + symmetry-
+    # aware mssd/mspd, against the workspace's real depth images.
+    _run([
+        "scripts.eval_bop_pose", "--results", str(ws / "poses.csv"),
+        "--dataset", str(ws / "bop"), "--split", "test",
+        "--models-dir", str(models), "--inference-mesh-dir", str(ws / "meshes"),
+        "--errors", "vsd", "mssd", "mspd", "--n-points", "300",
+        "--out", str(ws / "scores_bop19.json"),
+    ])
+    s2 = json.loads((ws / "scores_bop19.json").read_text())
+    for key in ("AR_vsd", "AR_mssd", "AR_mspd", "AR"):
+        assert key in s2 and 0.0 <= s2[key] <= 1.0
+    assert not any(k.startswith("AR_vsd:") for k in s2)  # taus folded
+
 
 def test_cli_extract_proposals_gt_masks(workspace):
     """Detector-free proposal generation + retrieval against the bank."""
