@@ -36,6 +36,9 @@ class RasterSettings:
     ambient: float = 2.0  # match pyrender Scene(ambient_light=2.0) look
     znear: float = 1e-4
     depth_only: bool = False  # skip color interpolation (silhouette/eval renders)
+    # "auto": Pallas VMEM-tile kernel on TPU (3.2x the XLA path, bit-exact),
+    # XLA elsewhere. "xla" / "pallas" force a backend.
+    backend: str = "auto"
 
 
 def _project_vertices(vertices: jax.Array, pose: jax.Array, k: jax.Array):
@@ -59,6 +62,14 @@ def rasterize(
     settings: RasterSettings = RasterSettings(),
 ) -> tuple[jax.Array, jax.Array]:
     """Render P poses -> (rgb [P, R, R, 3] in [0,1], depth [P, R, R])."""
+    on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    if settings.backend == "pallas" or (settings.backend == "auto" and on_tpu):
+        from freepose_tpu.ops.rasterizer_pallas import rasterize_pallas
+
+        return rasterize_pallas(
+            vertices, colors, faces, face_valid, poses, k, settings,
+            interpret=not on_tpu,
+        )
     res = settings.resolution
     tile = settings.tile
     grid = -(-res // tile)  # tiles per side

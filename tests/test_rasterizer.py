@@ -120,3 +120,73 @@ def test_depth_to_pointcloud_consistency():
     # Near face: z ≈ 1.5; |x|,|y| <= 0.5 (+ half-pixel slack)
     assert (np.abs(pts[:, :2]) < 0.52).all()
     assert pts[:, 2].min() > 1.45
+
+
+def test_pallas_backend_matches_xla():
+    """rasterize_pallas (interpret mode on CPU) is pixel-identical to the XLA
+    baseline: same binning, same coverage epsilon, same z-winner."""
+    from freepose_tpu.ops.rasterizer import RasterSettings, rasterize
+    from freepose_tpu.ops.rasterizer_pallas import rasterize_pallas
+
+    rng = np.random.default_rng(0)
+    n_lat, n_lon = 12, 16
+    verts, faces_l = [], []
+    for i in range(n_lat + 1):
+        th = np.pi * i / n_lat
+        for j in range(n_lon):
+            ph = 2 * np.pi * j / n_lon
+            r = 0.4 + 0.1 * np.sin(3 * ph)
+            verts.append([r * np.sin(th) * np.cos(ph), r * np.sin(th) * np.sin(ph), r * np.cos(th)])
+    for i in range(n_lat):
+        for j in range(n_lon):
+            a0 = i * n_lon + j
+            b0 = i * n_lon + (j + 1) % n_lon
+            c0 = (i + 1) * n_lon + j
+            d0 = (i + 1) * n_lon + (j + 1) % n_lon
+            faces_l += [[a0, b0, c0], [b0, d0, c0]]
+    vv = np.asarray(verts, np.float32)
+    mesh = TriMesh(vv, np.asarray(faces_l, np.int32), rng.random((len(vv), 3)).astype(np.float32))
+    v, c, f, valid = pad_mesh(mesh, 256, 512)
+    v, c, f, valid = map(jnp.asarray, (v, c, f, valid))
+    poses = jnp.asarray(template_poses(3, z=1.1))
+    k = jnp.asarray([[100.0, 0, 64], [0, 100, 64], [0, 0, 1]], jnp.float32)
+    settings = RasterSettings(resolution=128, tile=32, max_faces_per_tile=128)
+
+    rgb_x, depth_x = rasterize(v, c, f, valid, poses, k, settings)
+    rgb_p, depth_p = rasterize_pallas(v, c, f, valid, poses, k, settings, interpret=True)
+    np.testing.assert_allclose(np.asarray(depth_p), np.asarray(depth_x), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rgb_p), np.asarray(rgb_x), atol=1e-5)
+
+    # depth_only parity too (eval-renderer mode).
+    s2 = RasterSettings(resolution=128, tile=32, max_faces_per_tile=128, depth_only=True)
+    _, d_x = rasterize(v, c, f, valid, poses, k, s2)
+    _, d_p = rasterize_pallas(v, c, f, valid, poses, k, s2, interpret=True)
+    np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_x), atol=1e-5)
+
+
+def test_backend_switch_via_settings():
+    """RasterSettings(backend='pallas') routes rasterize() through the kernel
+    (interpret-compatible on CPU via the pallas interpreter default? No —
+    exercised through rasterize_pallas's interpret flag in the parity test;
+    here we only check the dispatch wires up on CPU interpret)."""
+    import freepose_tpu.ops.rasterizer_pallas as rp
+    from freepose_tpu.ops.rasterizer import RasterSettings, rasterize
+
+    poses = jnp.asarray(template_poses(1, z=2.0))
+    m = _cube()
+    v, c, f, valid = map(jnp.asarray, pad_mesh(m, 16, 24))
+    called = {}
+    orig = rp.rasterize_pallas
+
+    def spy(*a, **kw):
+        called["yes"] = True
+        assert kw.get("interpret") is True  # auto-interpret off-TPU
+        return orig(*a, **kw)
+
+    rp.rasterize_pallas = spy
+    try:
+        s = RasterSettings(resolution=64, tile=32, max_faces_per_tile=128, backend="pallas")
+        rgb, depth = rasterize(v, c, f, valid, poses, K, s)
+    finally:
+        rp.rasterize_pallas = orig
+    assert called.get("yes") and depth.shape == (1, 64, 64)
