@@ -168,6 +168,38 @@ class DinoFeatureExtractor:
         )
         return split_tokens(tokens, self.config.num_registers)[feature_type]
 
+    def extract_sharded(self, images: jax.Array, layer: int = 22,
+                        feature_type: str = "patch", mesh=None) -> jax.Array:
+        """Data-parallel extraction: the batch axis shards across the mesh's
+        'data' axis (params replicated), XLA inserting the gather on return.
+        The TPU-native replacement for the reference's per-GPU SLURM fan-out
+        of feature extraction (SURVEY §2.7); pads the batch to the shard
+        count so uneven batches still compile with static shapes."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        if mesh is None:
+            from freepose_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(data=len(jax.devices()), model=1)
+        n_data = mesh.shape["data"]
+        n = images.shape[0]
+        pad = (-n) % n_data
+        if pad:
+            images = jnp.concatenate([images, jnp.zeros((pad,) + images.shape[1:], images.dtype)])
+        images = jax.device_put(images, NamedSharding(mesh, P("data")))
+        params = jax.device_put(self.params, NamedSharding(mesh, P()))
+
+        @partial(jax.jit, static_argnames=("layer", "feature_type"),
+                 out_shardings=NamedSharding(mesh, P("data")))
+        def _fwd(params, images, layer, feature_type):
+            tokens = self.model.apply(
+                {"params": params}, normalize_images(images.astype(self.config.dtype)), layer=layer
+            )
+            return split_tokens(tokens, self.config.num_registers)[feature_type]
+
+        out = _fwd(params, images, layer, feature_type)
+        return out[:n]
+
     def __hash__(self):  # jit static self
         return id(self)
 

@@ -102,3 +102,22 @@ def test_split_tokens_partition():
         np.concatenate([parts["cls"][:, None], parts["reg"], parts["patch"]], axis=1),
         np.asarray(tokens),
     )
+
+
+def test_extract_sharded_matches_single_device():
+    """Batch-sharded extraction over the 8-device CPU mesh == single-device,
+    including uneven batches (padding sliced off)."""
+    import jax
+
+    from freepose_tpu.models.dinov2 import VIT_TEST, DinoFeatureExtractor
+
+    assert len(jax.devices()) == 8
+    fe = DinoFeatureExtractor(VIT_TEST)
+    rng = np.random.default_rng(0)
+    size = VIT_TEST.image_size
+    for n in (8, 5):  # even and uneven batch
+        imgs = jnp.asarray(rng.random((n, 3, size, size)), jnp.float32)
+        ref = fe(imgs, layer=2, feature_type="patch")
+        got = fe.extract_sharded(imgs, layer=2, feature_type="patch")
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
