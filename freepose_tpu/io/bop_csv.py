@@ -84,3 +84,28 @@ def merge_result_csvs(paths: list[str | Path], out_path: str | Path) -> None:
     merge_results.py SLURM-shard recombination, scripts/merge_results.py:14-29)."""
     frames = [pd.read_csv(Path(p)) for p in paths]
     pd.concat(frames, ignore_index=True).to_csv(Path(out_path), index=False, header=True)
+
+
+def check_bop_results(path: str | Path) -> tuple[bool, str]:
+    """Format conformance check (reference bop_toolkit_lib/inout.py:385-421,
+    bop19 protocol): the file must parse, rotations must be 9 floats,
+    translations 3, and every estimate of the same (scene, image) must report
+    the SAME running time (the eval averages it per image)."""
+    try:
+        results = read_results_csv(path)
+    except Exception as e:  # malformed file
+        return False, f"Error when loading BOP results: {e}"
+    times: dict = {}
+    for r in results:
+        if np.asarray(r.R).shape != (3, 3) or np.asarray(r.t).shape != (3,):
+            return False, f"bad R/t shape for scene {r.scene_id} image {r.im_id}"
+        key = (r.scene_id, r.im_id)
+        if key in times:
+            if abs(times[key] - r.time) > 0.001:
+                return False, (
+                    f"The running time for scene {r.scene_id} and image "
+                    f"{r.im_id} is not the same for all estimates."
+                )
+        else:
+            times[key] = r.time
+    return True, "OK"

@@ -52,6 +52,12 @@ def main() -> None:
     add_shard_args(ap)
     args = ap.parse_args()
 
+    from freepose_tpu.io.bop_csv import check_bop_results
+
+    ok, msg = check_bop_results(args.results)
+    if not ok:  # reference driver aborts on malformed CSVs (inout.py:385-421)
+        raise SystemExit(f"results format check failed: {msg}")
+
     dataset = BOPDataset(args.dataset, args.split)
     results = read_results_csv(args.results, t_scale=1000.0)
     by_frame: dict = defaultdict(list)

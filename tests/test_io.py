@@ -217,3 +217,25 @@ def test_decimate_vertex_clustering():
     assert ((f[:, 0] != f[:, 1]) & (f[:, 1] != f[:, 2]) & (f[:, 0] != f[:, 2])).all()
     # Small meshes pass through untouched.
     assert decimate_vertex_clustering(dec, target_faces=10**6) is dec
+
+
+def test_check_bop_results(tmp_path):
+    r1 = bop_csv.PoseResult(1, 1, "m", 1.0, np.eye(3), np.zeros(3), time=0.5)
+    r2 = bop_csv.PoseResult(1, 1, "n", 0.9, np.eye(3), np.ones(3), time=0.5)
+    ok_path = tmp_path / "ok.csv"
+    bop_csv.write_results_csv([r1, r2], ok_path)
+    ok, msg = bop_csv.check_bop_results(ok_path)
+    assert ok and msg == "OK"
+
+    # Mismatched per-image times fail (reference inout.py:397-414).
+    r3 = bop_csv.PoseResult(1, 1, "n", 0.9, np.eye(3), np.ones(3), time=0.7)
+    bad_path = tmp_path / "bad.csv"
+    bop_csv.write_results_csv([r1, r3], bad_path)
+    ok, msg = bop_csv.check_bop_results(bad_path)
+    assert not ok and "running time" in msg
+
+    # Garbage file fails gracefully.
+    junk = tmp_path / "junk.csv"
+    junk.write_text("not,a,results,file\n1,2,3,4\n")
+    ok, msg = bop_csv.check_bop_results(junk)
+    assert not ok
