@@ -133,11 +133,17 @@ class OnlinePoseEstimator:
         neighborhood_deg: float = 15.0,
         mask_scores: bool = False,
     ) -> PoseEstimate:
-        sel_poses, sel_idx, valid = select_neighborhood(
-            self.fine_poses, prev_pose, neighborhood_deg, self.n_neighbors
+        # Three device dispatches per frame: prepare (neighborhood + render +
+        # crops + cloud stats, one fused program), features, finish (rescore +
+        # z-lift). Host round-trips between many small programs cost ~34 ms
+        # EACH through a remote-TPU tunnel and ~launch overhead locally.
+        v, c, f, fv = self.renderer._padded(mesh, self.rendering_scale)
+        sel_poses, sel_idx, valid, props, render_masks, stats = _refine_prepare(
+            self.fine_poses, prev_pose, jnp.float32(neighborhood_deg),
+            v, c, f, fv, self.renderer.k,
+            self.renderer.settings, self.n_neighbors, self.renderer.pose_chunk,
+            self.renderer.resolution,
         )
-        rgb, depth = self.renderer.render_from_poses(mesh, sel_poses, scale=self.rendering_scale)
-        props, render_masks, _ = self.renderer.generate_proposals(rgb, depth)
         feats = []
         bs = 128
         for i in range(0, props.shape[0], bs):
@@ -145,16 +151,47 @@ class OnlinePoseEstimator:
         render_feats = normalize_feats(jnp.concatenate(feats))
         grid = int(round(render_feats.shape[1] ** 0.5))
 
-        scores = rescore_views(
-            render_feats, query_feat, valid, render_masks, proposal_mask, grid, mask_scores
-        )
-        pc_min, pc_max, pc_mean = depth_stats(depth, self.renderer.k)
-        tcos, top_scores, local_idx = score_and_lift_from_stats(
-            scores, pc_min, pc_max, pc_mean, sel_poses, k,
-            jnp.asarray(bbox, jnp.float32), jnp.asarray(est_scale, jnp.float32),
+        tcos, top_scores, local_idx = _refine_finish(
+            render_feats, query_feat, valid, render_masks, proposal_mask, stats,
+            sel_poses, k, jnp.asarray(bbox, jnp.float32),
+            jnp.asarray(est_scale, jnp.float32), grid, mask_scores,
             self.rendering_scale,
         )
         return PoseEstimate(tcos, top_scores, sel_idx[local_idx], query_feat)
+
+
+@partial(jax.jit, static_argnames=("settings", "n_neighbors", "pose_chunk", "resolution"))
+def _refine_prepare(
+    fine_poses, prev_pose, neighborhood_deg, v, c, f, fv, k_render,
+    settings, n_neighbors, pose_chunk, resolution,
+):
+    """Fused: neighborhood top-k + batched render + proposal crops + per-view
+    cloud stats — one program, one dispatch."""
+    from freepose_tpu.ops.rasterizer import render_meshes
+    from freepose_tpu.pipeline.renderer import _generate_proposals_jit
+
+    sel_poses, sel_idx, valid = select_neighborhood(
+        fine_poses, prev_pose, neighborhood_deg, n_neighbors
+    )
+    rgb, depth = render_meshes(v, c, f, fv, sel_poses, k_render, settings, pose_chunk=pose_chunk)
+    props, render_masks, _ = _generate_proposals_jit(rgb, depth, resolution, resolution)
+    stats = depth_stats(depth, k_render)
+    return sel_poses, sel_idx, valid, props, render_masks, stats
+
+
+@partial(jax.jit, static_argnames=("grid", "mask_scores", "rendering_scale"))
+def _refine_finish(
+    render_feats, query_feat, valid, render_masks, proposal_mask, stats,
+    sel_poses, k, bbox, est_scale, grid, mask_scores, rendering_scale,
+):
+    """Fused: masked rescoring + argmax + z-lift."""
+    scores = rescore_views(
+        render_feats, query_feat, valid, render_masks, proposal_mask, grid, mask_scores
+    )
+    pc_min, pc_max, pc_mean = stats
+    return score_and_lift_from_stats(
+        scores, pc_min, pc_max, pc_mean, sel_poses, k, bbox, est_scale, rendering_scale
+    )
 
 
 @partial(jax.jit, static_argnames=("rendering_scale",))
