@@ -29,10 +29,9 @@ from scripts.common import load_dino_extractor, load_filelist
 
 
 def load_frames(video_dir: str) -> np.ndarray:
-    from PIL import Image
+    from freepose_tpu.datasets.video import load_frame_dir
 
-    paths = sorted(Path(video_dir).glob("*.jpg")) + sorted(Path(video_dir).glob("*.png"))
-    return np.stack([np.asarray(Image.open(p).convert("RGB")) for p in paths])
+    return load_frame_dir(video_dir)
 
 
 def main() -> None:
