@@ -81,8 +81,23 @@ class BeitBlock(nn.Module):
         hd = d // nh
         n_tok = x.shape[1]
 
-        num_rel = (2 * self.window[0] - 1) * (2 * self.window[1] - 1) + 3
-        table = self.param("rel_pos_table", nn.initializers.zeros, (num_rel, nh))
+        # Table is sized by the PRETRAIN window (so checkpoints load at any
+        # inference resolution); a runtime window mismatch bilinearly resizes
+        # the spatial sub-table, keeping the 3 cls rows (the MiDaS-3.1
+        # arbitrary-window scheme, HF modeling_beit.py:598-631 — including
+        # its width/height-swapped reshape, kept for weight parity).
+        pre = (c.image_size // c.patch_size, c.image_size // c.patch_size)
+        num_rel_pre = (2 * pre[0] - 1) * (2 * pre[1] - 1) + 3
+        table = self.param("rel_pos_table", nn.initializers.zeros, (num_rel_pre, nh))
+        if self.window != pre:
+            from freepose_tpu.ops.sampling import resize_bilinear
+
+            oh, ow = 2 * pre[0] - 1, 2 * pre[1] - 1
+            nh2, nw2 = 2 * self.window[0] - 1, 2 * self.window[1] - 1
+            sub = table[: num_rel_pre - 3].reshape(ow, oh, nh).transpose(2, 0, 1)
+            sub = resize_bilinear(sub, (nh2, nw2))  # [heads, nh2, nw2]
+            sub = sub.transpose(1, 2, 0).reshape(nh2 * nw2, nh)
+            table = jnp.concatenate([sub, table[num_rel_pre - 3:]], axis=0)
         idx = relative_position_index(self.window)
         bias = table[idx.reshape(-1)].reshape(n_tok, n_tok, nh).transpose(2, 0, 1)
 

@@ -355,15 +355,23 @@ class MetricDepthEstimator:
         params = load_params(weights_path) if weights_path else None
         return cls(config, params=params)
 
-    def predict(self, image: np.ndarray) -> np.ndarray:
-        """[H, W, 3] uint8/float -> [H, W] metric depth (metres)."""
+    def predict(self, image: np.ndarray, input_hw: tuple[int, int] | None = None) -> np.ndarray:
+        """[H, W, 3] uint8/float -> [H, W] metric depth (metres).
+
+        input_hw overrides the model resolution (each side must be a multiple
+        of the BEiT patch size; ZoeD_N production runs 384x512 — the rel-pos
+        tables interpolate to the non-pretrain window)."""
         h, w = image.shape[:2]
         img = jnp.asarray(image, jnp.float32)
         if image.dtype == np.uint8:
             img = img / 255.0
         chw = img.transpose(2, 0, 1)
         size = self.config.image_size
-        resized = resize_bilinear(chw, (size, size))
+        ih, iw = input_hw or (size, size)
+        patch = self.config.beit.patch_size
+        if ih % patch or iw % patch:
+            raise ValueError(f"input_hw must be multiples of {patch}, got {(ih, iw)}")
+        resized = resize_bilinear(chw, (ih, iw))
         mean = jnp.asarray(self.IMAGE_MEAN).reshape(3, 1, 1)
         std = jnp.asarray(self.IMAGE_STD).reshape(3, 1, 1)
         depth = self._fwd(self.params, ((resized - mean) / std)[None])[0]

@@ -98,3 +98,38 @@ def test_hf_parity_backbone_taps(hf_pair):
         np.testing.assert_allclose(
             np.asarray(got_t), want_t.numpy(), atol=1e-5, rtol=1e-4
         )
+
+
+def test_hf_parity_backbone_nonpretrain_resolution(hf_pair):
+    """Relative-position-bias table interpolation (MiDaS 3.1 arbitrary
+    windows, HF modeling_beit.py:598-631): parity at 64x80 with a 64x64
+    pretrain window."""
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    from freepose_tpu.models.beit import BEIT_TEST, BeitBackbone
+
+    hf, _, params = hf_pair
+    rng = np.random.default_rng(4)
+    pixels = rng.normal(size=(1, 3, 64, 80)).astype(np.float32)
+    with torch.no_grad():
+        want = hf.backbone(torch.tensor(pixels)).feature_maps
+
+    taps, window = BeitBackbone(BEIT_TEST).apply(
+        {"params": params["backbone"]}, jnp.asarray(pixels)
+    )
+    assert window == (4, 5)
+    for got_t, want_t in zip(taps, want):
+        np.testing.assert_allclose(
+            np.asarray(got_t), want_t.numpy(), atol=2e-5, rtol=1e-4
+        )
+
+
+def test_predict_nonsquare_input_hw():
+    est = MetricDepthEstimator(DEPTH_TEST)
+    rng = np.random.default_rng(5)
+    img = (rng.random((48, 80, 3)) * 255).astype(np.uint8)
+    d = est.predict(img, input_hw=(64, 80))  # 4x5 window vs 4x4 pretrain
+    assert d.shape == (48, 80) and np.isfinite(d).all() and (d >= 0).all()
+    with pytest.raises(ValueError):
+        est.predict(img, input_hw=(60, 80))  # not a patch multiple
