@@ -222,20 +222,30 @@ class ClipFeatureExtractor:
             params = self.model.init(jax.random.PRNGKey(seed), dummy_img, dummy_txt)["params"]
         self.params = jax.tree.map(jnp.asarray, params)
 
-    @partial(jax.jit, static_argnames=("self",))
     def encode_image(self, images: jax.Array) -> jax.Array:
-        return self.model.apply(
-            {"params": self.params},
-            clip_normalize_images(images.astype(self.config.dtype)),
-            method=Clip.encode_image,
-        )
+        return _encode_image_jit(self, self.params, images)
 
-    @partial(jax.jit, static_argnames=("self",))
     def encode_text(self, input_ids: jax.Array) -> jax.Array:
-        return self.model.apply({"params": self.params}, input_ids, method=Clip.encode_text)
+        return _encode_text_jit(self, self.params, input_ids)
 
     def __hash__(self):
         return id(self)
 
     def __eq__(self, other):
         return self is other
+
+
+@partial(jax.jit, static_argnames=("extractor",))
+def _encode_image_jit(extractor, params, images):
+    """Params as an argument, never closed over via static self (a closure
+    embeds the bigG weights as compile-time constants; see dinov2.py)."""
+    return extractor.model.apply(
+        {"params": params},
+        clip_normalize_images(images.astype(extractor.config.dtype)),
+        method=Clip.encode_image,
+    )
+
+
+@partial(jax.jit, static_argnames=("extractor",))
+def _encode_text_jit(extractor, params, input_ids):
+    return extractor.model.apply({"params": params}, input_ids, method=Clip.encode_text)

@@ -161,12 +161,8 @@ class DinoFeatureExtractor:
             params = self.model.init(jax.random.PRNGKey(seed), dummy)["params"]
         self.params = jax.tree.map(jnp.asarray, params)
 
-    @partial(jax.jit, static_argnames=("self", "layer", "feature_type"))
     def __call__(self, images: jax.Array, layer: int = 22, feature_type: str = "patch") -> jax.Array:
-        tokens = self.model.apply(
-            {"params": self.params}, normalize_images(images.astype(self.config.dtype)), layer=layer
-        )
-        return split_tokens(tokens, self.config.num_registers)[feature_type]
+        return _extract_jit(self, self.params, images, layer, feature_type)
 
     def extract_sharded(self, images: jax.Array, layer: int = 22,
                         feature_type: str = "patch", mesh=None) -> jax.Array:
@@ -205,3 +201,16 @@ class DinoFeatureExtractor:
 
     def __eq__(self, other):
         return self is other
+
+
+@partial(jax.jit, static_argnames=("extractor", "layer", "feature_type"))
+def _extract_jit(extractor, params, images, layer, feature_type):
+    """Params enter as an ARGUMENT: closing over them via a static `self`
+    would embed ~1.2 GB of weights as compile-time constants — which both
+    bloats the executable and exceeds remote-compile request limits
+    (observed HTTP 413)."""
+    cfg = extractor.config
+    tokens = extractor.model.apply(
+        {"params": params}, normalize_images(images.astype(cfg.dtype)), layer=layer
+    )
+    return split_tokens(tokens, cfg.num_registers)[feature_type]
