@@ -185,15 +185,12 @@ class DinoFeatureExtractor:
         images = jax.device_put(images, NamedSharding(mesh, P("data")))
         params = jax.device_put(self.params, NamedSharding(mesh, P()))
 
-        @partial(jax.jit, static_argnames=("layer", "feature_type"),
+        @partial(jax.jit, static_argnames=("extractor", "layer", "feature_type"),
                  out_shardings=NamedSharding(mesh, P("data")))
-        def _fwd(params, images, layer, feature_type):
-            tokens = self.model.apply(
-                {"params": params}, normalize_images(images.astype(self.config.dtype)), layer=layer
-            )
-            return split_tokens(tokens, self.config.num_registers)[feature_type]
+        def _fwd(extractor, params, images, layer, feature_type):
+            return _extract_jit.__wrapped__(extractor, params, images, layer, feature_type)
 
-        out = _fwd(params, images, layer, feature_type)
+        out = _fwd(self, params, images, layer, feature_type)
         return out[:n]
 
     def __hash__(self):  # jit static self
@@ -208,9 +205,22 @@ def _extract_jit(extractor, params, images, layer, feature_type):
     """Params enter as an ARGUMENT: closing over them via a static `self`
     would embed ~1.2 GB of weights as compile-time constants — which both
     bloats the executable and exceeds remote-compile request limits
-    (observed HTTP 413)."""
+    (observed HTTP 413).
+
+    `layer` is static here, so truncation really skips compute: the stacked
+    scan params are sliced to the first `layer` blocks and the scan length
+    shrinks to match (running all 24 blocks and snapshotting the carry costs
+    the full depth — measured identical times for layer 4 vs 24)."""
+    import dataclasses
+
     cfg = extractor.config
-    tokens = extractor.model.apply(
-        {"params": params}, normalize_images(images.astype(cfg.dtype)), layer=layer
+    if layer is not None and layer < cfg.num_layers:
+        params = dict(params)
+        params["blocks"] = jax.tree.map(lambda a: a[:layer], params["blocks"])
+        model = DinoV2(dataclasses.replace(cfg, num_layers=layer))
+    else:
+        model = extractor.model
+    tokens = model.apply(
+        {"params": params}, normalize_images(images.astype(cfg.dtype))
     )
     return split_tokens(tokens, cfg.num_registers)[feature_type]
