@@ -45,9 +45,9 @@ def main() -> None:
     ap.add_argument("--weights", default=None)
     ap.add_argument("--layer", type=int, default=22)
     ap.add_argument("--n-coarse", type=int, default=600)
-    ap.add_argument("--n-fine", type=int, default=10000)
+    ap.add_argument("--n-fine", type=int, default=20000)  # reference dino_inference_video.py:64
     ap.add_argument("--neighborhood", type=float, default=15.0)
-    ap.add_argument("--n-neighbors", type=int, default=32, help="static cap on the 15-deg neighborhood (10k grid holds <=13; 16 = validated fast mode, 4.1 FPS/chip)")
+    ap.add_argument("--n-neighbors", type=int, default=32, help="static cap on the 15-deg ball (measured max: 13 on a 10k grid, 22 on 20k; 16 is a valid fast mode ONLY with --n-fine 10000)")
     ap.add_argument("--no-rescore", action="store_true", help="coarse-only per frame")
     ap.add_argument("--mask-scores", action="store_true")
     args = ap.parse_args()

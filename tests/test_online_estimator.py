@@ -52,14 +52,17 @@ def test_select_neighborhood_static_shapes():
 
 def test_default_neighbor_cap_covers_15deg_ball():
     """The static n_neighbors=32 default must contain EVERY grid pose within
-    15 deg on the production 10k fine grid (measured max 13), otherwise the
-    top-k silently truncates the reference's `dists < 15` neighbourhood."""
-    poses = template_poses(10000)
-    rots = np.asarray(poses[:, :3, :3])
+    15 deg on the production fine grids — 10k (class default, measured max
+    13) AND 20k (the reference video CLI's size, dino_inference_video.py:64,
+    measured max 22) — otherwise the top-k silently truncates the
+    reference's `dists < 15` neighbourhood."""
     rng = np.random.default_rng(1)
-    for i in rng.integers(0, 10000, size=25):
-        d = np.asarray(geodesic_distance(jnp.asarray(rots), jnp.asarray(rots[i])))
-        assert (d < 15.0).sum() <= 32
+    for n, probes in ((10000, 25), (20000, 15)):
+        poses = template_poses(n)
+        rots = np.asarray(poses[:, :3, :3])
+        for i in rng.integers(0, n, size=probes):
+            d = np.asarray(geodesic_distance(jnp.asarray(rots), jnp.asarray(rots[i])))
+            assert (d < 15.0).sum() <= 32
 
 
 @pytest.fixture(scope="module")
