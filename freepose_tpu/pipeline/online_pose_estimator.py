@@ -86,13 +86,20 @@ class OnlinePoseEstimator:
         n_fine_poses: int = 10000,
         n_neighbors: int = 32,
         rendering_scale: float = RENDERING_SCALE,
+        extractor=None,
+        feature_layer: int = 22,
     ):
+        """When `extractor` (a DinoFeatureExtractor) is given, the refine
+        step fuses feature extraction INTO the prepare program (2 dispatches
+        per frame instead of 3); otherwise `feature_fn` runs separately."""
         self.coarse = CoarsePoseEstimator(feature_fn, bank, n_poses=n_coarse_poses)
         self.feature_fn = feature_fn
         self.renderer = renderer or bank.renderer
         self.fine_poses = template_poses(n_fine_poses)
         self.n_neighbors = n_neighbors
         self.rendering_scale = rendering_scale
+        self.extractor = extractor
+        self.feature_layer = feature_layer
         self.patch_grid = None  # inferred from first feature call
 
     def estimate(
@@ -138,17 +145,26 @@ class OnlinePoseEstimator:
         # z-lift). Host round-trips between many small programs cost ~34 ms
         # EACH through a remote-TPU tunnel and ~launch overhead locally.
         v, c, f, fv = self.renderer._padded(mesh, self.rendering_scale)
-        sel_poses, sel_idx, valid, props, render_masks, stats = _refine_prepare(
-            self.fine_poses, prev_pose, jnp.float32(neighborhood_deg),
-            v, c, f, fv, self.renderer.k,
-            self.renderer.settings, self.n_neighbors, self.renderer.pose_chunk,
-            self.renderer.resolution,
-        )
-        feats = []
-        bs = 128
-        for i in range(0, props.shape[0], bs):
-            feats.append(self.feature_fn(props[i : i + bs]))
-        render_feats = normalize_feats(jnp.concatenate(feats))
+        if self.extractor is not None:
+            # Fully fused: render + crop + featurize in ONE program.
+            sel_poses, sel_idx, valid, render_feats, render_masks, stats = _refine_prepare_fused(
+                self.fine_poses, prev_pose, jnp.float32(neighborhood_deg),
+                v, c, f, fv, self.renderer.k, self.extractor.params,
+                self.renderer.settings, self.n_neighbors, self.renderer.pose_chunk,
+                self.renderer.resolution, self.extractor, self.feature_layer,
+            )
+        else:
+            sel_poses, sel_idx, valid, props, render_masks, stats = _refine_prepare(
+                self.fine_poses, prev_pose, jnp.float32(neighborhood_deg),
+                v, c, f, fv, self.renderer.k,
+                self.renderer.settings, self.n_neighbors, self.renderer.pose_chunk,
+                self.renderer.resolution,
+            )
+            feats = []
+            bs = 128
+            for i in range(0, props.shape[0], bs):
+                feats.append(self.feature_fn(props[i : i + bs]))
+            render_feats = normalize_feats(jnp.concatenate(feats))
         grid = int(round(render_feats.shape[1] ** 0.5))
 
         tcos, top_scores, local_idx = _refine_finish(
@@ -177,6 +193,25 @@ def _refine_prepare(
     props, render_masks, _ = _generate_proposals_jit(rgb, depth, resolution, resolution)
     stats = depth_stats(depth, k_render)
     return sel_poses, sel_idx, valid, props, render_masks, stats
+
+
+@partial(jax.jit, static_argnames=(
+    "settings", "n_neighbors", "pose_chunk", "resolution", "extractor", "layer"))
+def _refine_prepare_fused(
+    fine_poses, prev_pose, neighborhood_deg, v, c, f, fv, k_render, fe_params,
+    settings, n_neighbors, pose_chunk, resolution, extractor, layer,
+):
+    """_refine_prepare + DINOv2 features on the crops in the SAME program —
+    2 dispatches per tracked frame. Extractor params enter as arguments
+    (never closed over; see models/dinov2._extract_jit)."""
+    from freepose_tpu.models.dinov2 import _extract_jit
+
+    sel_poses, sel_idx, valid, props, render_masks, stats = _refine_prepare.__wrapped__(
+        fine_poses, prev_pose, neighborhood_deg, v, c, f, fv, k_render,
+        settings, n_neighbors, pose_chunk, resolution,
+    )
+    feats = _extract_jit.__wrapped__(extractor, fe_params, props, layer, "patch")
+    return sel_poses, sel_idx, valid, normalize_feats(feats), render_masks, stats
 
 
 @partial(jax.jit, static_argnames=("grid", "mask_scores", "rendering_scale"))

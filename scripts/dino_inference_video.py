@@ -64,6 +64,7 @@ def main() -> None:
     estimator = OnlinePoseEstimator(
         feature_fn, bank, renderer, n_coarse_poses=args.n_coarse,
         n_fine_poses=args.n_fine, n_neighbors=args.n_neighbors,
+        extractor=extractor, feature_layer=args.layer,  # fused refine-prepare
     )
 
     by_frame: dict[int, list] = {}

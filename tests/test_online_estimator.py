@@ -131,3 +131,33 @@ def test_online_frame0_runs_coarse(setup):
     assert out.tcos.shape == (1, 4, 4)
     assert np.isfinite(np.asarray(out.tcos)).all()
     assert float(out.scores[0]) > 0
+
+
+def test_fused_extractor_path_matches_feature_fn(setup):
+    """OnlinePoseEstimator(extractor=...) fuses featurization into the
+    prepare program; results must equal the feature_fn path exactly."""
+    renderer, bank, est = setup
+    fe = DinoFeatureExtractor(CFG)
+    feature_fn = lambda imgs: fe(imgs, layer=2, feature_type="patch")
+    est_fused = OnlinePoseEstimator(
+        feature_fn, bank, renderer, n_coarse_poses=16, n_fine_poses=200,
+        n_neighbors=32, extractor=fe, feature_layer=2,
+    )
+    est_plain = OnlinePoseEstimator(
+        feature_fn, bank, renderer, n_coarse_poses=16, n_fine_poses=200, n_neighbors=32
+    )
+
+    mesh = _mesh()
+    rgb, depth = renderer.render_from_poses(mesh, est_plain.fine_poses[7][None], scale=0.25)
+    props, masks, boxes = renderer.generate_proposals(rgb, depth)
+    k = renderer.k
+    import jax.numpy as jnp
+
+    qf = est_plain.coarse.query_features(props[0])
+    args = (qf, masks[0], mesh, k, boxes[0].astype(jnp.float32), 0.25,
+            est_plain.fine_poses[7])
+    a = est_plain.refine(*args, neighborhood_deg=25.0)
+    b = est_fused.refine(*args, neighborhood_deg=25.0)
+    np.testing.assert_allclose(np.asarray(a.tcos), np.asarray(b.tcos), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.scores), np.asarray(b.scores), atol=1e-5)
+    assert int(a.view_indices) == int(b.view_indices)
