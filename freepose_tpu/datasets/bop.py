@@ -23,7 +23,16 @@ def _imread(path: Path) -> np.ndarray:
 
 class BOPDataset:
     def __init__(self, root_dir: str | Path, split: str, use_visible_masks: bool = True):
-        root = Path(root_dir).resolve()
+        root = Path(root_dir)
+        if not root.is_absolute() and not root.exists():
+            # Bare dataset names resolve under $BOP_PATH (reference
+            # bop_toolkit_lib/config.py:12-15 convention).
+            import os
+
+            bop_path = os.environ.get("BOP_PATH")
+            if bop_path and (Path(bop_path) / root).exists():
+                root = Path(bop_path) / root
+        root = root.resolve()
         name = root.name
         if "tless" in name or "hb" in name:
             split = f"{split}_primesense"

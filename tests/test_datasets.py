@@ -101,3 +101,30 @@ def test_bop_dataset_params(tmp_path):
 
     with _pytest.raises(KeyError):
         get_dataset_params(tmp_path, "nope")
+
+
+def test_bop_path_env_resolution(tmp_path, monkeypatch):
+    """Bare dataset names resolve under $BOP_PATH (reference
+    bop_toolkit_lib/config.py:12-15)."""
+    import numpy as np
+    from PIL import Image
+
+    from freepose_tpu.datasets.bop import BOPDataset
+
+    scene = tmp_path / "minibop" / "test" / "000001"
+    (scene / "rgb").mkdir(parents=True)
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(scene / "rgb" / "000000.png")
+    (scene / "scene_camera.json").write_text(
+        '{"0": {"cam_K": [10.0, 0, 4, 0, 10, 4, 0, 0, 1], "depth_scale": 0.1}}'
+    )
+    (scene / "scene_gt.json").write_text("{}")
+    monkeypatch.setenv("BOP_PATH", str(tmp_path))
+    import os
+
+    cwd = os.getcwd()
+    os.chdir("/")  # ensure the bare name can't resolve relative to cwd
+    try:
+        ds = BOPDataset("minibop", "test")
+    finally:
+        os.chdir(cwd)
+    assert len(ds) == 1
