@@ -29,7 +29,7 @@ except Exception:
     pass
 
 TINY = bool(os.environ.get("FREEPOSE_BENCH_TINY"))
-BATCH = 2 if TINY else int(os.environ.get("FREEPOSE_BENCH_BATCH", "32"))
+BATCH = 2 if TINY else int(os.environ.get("FREEPOSE_BENCH_BATCH", "64"))
 N_VIEWS = 32 if TINY else 600
 RES = 56 if TINY else 420
 TARGET_FPS = 10.0
