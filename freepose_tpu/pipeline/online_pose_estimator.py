@@ -28,6 +28,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from freepose_tpu.geometry.rotation import geodesic_distance, template_poses
 from freepose_tpu.ops.sampling import resize_area
@@ -88,10 +89,17 @@ class OnlinePoseEstimator:
         rendering_scale: float = RENDERING_SCALE,
         extractor=None,
         feature_layer: int = 22,
+        fine_cache_capacity: int = 0,
     ):
         """When `extractor` (a DinoFeatureExtractor) is given, the refine
         step fuses feature extraction INTO the prepare program (2 dispatches
-        per frame instead of 3); otherwise `feature_fn` runs separately."""
+        per frame instead of 3); otherwise `feature_fn` runs separately.
+
+        `fine_cache_capacity` > 0 (requires `extractor`) additionally caches
+        per-view render features/masks/stats by fine-grid index across frames
+        of a track (exact reuse — see pipeline/fine_cache.py): warm frames
+        featurize only the query crop plus newly-entered views, in ONE
+        dispatch."""
         self.coarse = CoarsePoseEstimator(feature_fn, bank, n_poses=n_coarse_poses)
         self.feature_fn = feature_fn
         self.renderer = renderer or bank.renderer
@@ -101,6 +109,27 @@ class OnlinePoseEstimator:
         self.extractor = extractor
         self.feature_layer = feature_layer
         self.patch_grid = None  # inferred from first feature call
+        if fine_cache_capacity and extractor is None:
+            raise ValueError("fine_cache_capacity requires `extractor`")
+        if fine_cache_capacity and fine_cache_capacity < n_neighbors:
+            raise ValueError(
+                f"fine_cache_capacity ({fine_cache_capacity}) must hold at "
+                f"least one neighbourhood (n_neighbors={n_neighbors})"
+            )
+        self.fine_cache_capacity = fine_cache_capacity
+        self._fine_caches: dict = {}
+        self._fine_rots_np = np.asarray(self.fine_poses[:, :3, :3])
+        self._padded_meshes: dict = {}
+
+    def _padded_mesh(self, key, mesh):
+        """Padded device mesh buffers, cached per track: re-uploading ~300 KB
+        of vertex/face data per frame costs a host->device transfer the fused
+        step would wait on."""
+        entry = self._padded_meshes.get(key)
+        if entry is None or entry[0] is not mesh:
+            entry = (mesh, self.renderer._padded(mesh, self.rendering_scale))
+            self._padded_meshes[key] = entry
+        return entry[1]
 
     def estimate(
         self,
@@ -122,6 +151,13 @@ class OnlinePoseEstimator:
             query_feat = coarse.query_feat
             prev_pose = coarse.tcos[0]
         else:
+            query_feat = None  # cached path featurizes in-program
+        if self.fine_cache_capacity:
+            return self.refine_cached(
+                proposal, proposal_mask, mesh, k, bbox, est_scale, prev_pose,
+                neighborhood_deg, mask_scores, cache_key=pack.name,
+            )
+        if query_feat is None:
             query_feat = self.coarse.query_features(proposal)
         return self.refine(
             query_feat, proposal_mask, mesh, k, bbox, est_scale, prev_pose,
@@ -174,6 +210,108 @@ class OnlinePoseEstimator:
             self.rendering_scale,
         )
         return PoseEstimate(tcos, top_scores, sel_idx[local_idx], query_feat)
+
+    def refine_cached(
+        self,
+        proposal: jax.Array,
+        proposal_mask: jax.Array,
+        mesh,
+        k: jax.Array,
+        bbox: jax.Array,
+        est_scale: float,
+        prev_pose: jax.Array,
+        neighborhood_deg: float = 15.0,
+        mask_scores: bool = False,
+        cache_key=None,
+    ) -> PoseEstimate:
+        """Refine via the fine-view cache (exact reuse across frames): one
+        dispatch per frame, featurizing only the query crop + cache misses.
+        See pipeline/fine_cache.py."""
+        from freepose_tpu.pipeline.fine_cache import (
+            FineViewCache, bucket_size, cached_refine_hit, cached_refine_update,
+            select_neighborhood_host,
+        )
+
+        res = self.renderer.resolution
+        assert proposal.shape[-1] == res, (
+            f"cached refine needs the proposal crop at render resolution "
+            f"({proposal.shape[-1]} vs {res})"
+        )
+        key = cache_key if cache_key is not None else id(mesh)
+        cache = self._fine_caches.get(key)
+        if cache is None:
+            cache = self._fine_caches[key] = FineViewCache(self.fine_cache_capacity)
+            cfg = self.extractor.config
+            grid = res // cfg.patch_size
+            cache.ensure_buffers(grid * grid, cfg.hidden_size, res, cfg.dtype)
+
+        prev = np.asarray(prev_pose)
+        sel_idx, valid, near_extra = select_neighborhood_host(
+            self._fine_rots_np, prev[:3, :3], neighborhood_deg, self.n_neighbors,
+            n_extra=self.n_neighbors,
+        )
+        missing = cache.missing(sel_idx)
+        cache.touch(sel_idx)
+
+        common = dict(
+            extractor=self.extractor, layer=self.feature_layer,
+            resolution=res, mask_scores=mask_scores,
+            rendering_scale=self.rendering_scale,
+        )
+        proposal = jnp.asarray(proposal)
+        pmask = jnp.asarray(proposal_mask)
+        kq = jnp.asarray(k, jnp.float32)
+        bboxq = jnp.asarray(bbox, jnp.float32)
+        scaleq = jnp.asarray(est_scale, jnp.float32)
+
+        if missing:
+            m_b = bucket_size(len(missing), self.n_neighbors)
+            pad = m_b - len(missing)
+            if pad:
+                # Fill the bucket's padding with PREFETCH instead of garbage:
+                # the nearest not-yet-cached poses just beyond the
+                # neighbourhood are what a continuing trajectory needs next,
+                # so miss frames pre-cache them and later frames go all-hit.
+                # Capped so evictions always find a victim outside the
+                # protected neighbourhood (see FineViewCache.assign_slots).
+                max_prefetch = cache.capacity - self.n_neighbors
+                prefetch = cache.missing(near_extra)[: min(pad, max_prefetch)]
+                missing = missing + prefetch
+                pad = m_b - len(missing)
+            write_slots = cache.assign_slots(missing, protect=sel_idx)
+            new_idx = np.asarray(missing, np.int32)
+            if pad:
+                # Not enough uncached prefetch candidates: remaining padding
+                # re-renders the first miss into the scratch slot.
+                new_idx = np.concatenate([new_idx, np.full(pad, new_idx[0], np.int32)])
+                write_slots = np.concatenate(
+                    [write_slots, np.full(pad, cache.capacity, np.int32)]
+                )
+            gather = cache.gather_slots(sel_idx)
+            v, c, f, fv = self._padded_mesh(key, mesh)
+            (cache.feats, cache.masks, cache.stats, tcos, score, local, qf,
+             ) = cached_refine_update(
+                cache.feats, cache.masks, cache.stats,
+                self.fine_poses, new_idx, write_slots,
+                v, c, f, fv, self.renderer.k,
+                self.extractor.params, proposal,
+                gather, valid, sel_idx, pmask,
+                kq, bboxq, scaleq,
+                settings=self.renderer.settings,
+                pose_chunk=self.renderer.pose_chunk,
+                **common,
+            )
+        else:
+            gather = cache.gather_slots(sel_idx)
+            tcos, score, local, qf = cached_refine_hit(
+                cache.feats, cache.masks, cache.stats,
+                self.fine_poses,
+                self.extractor.params, proposal,
+                gather, valid, sel_idx, pmask,
+                kq, bboxq, scaleq,
+                **common,
+            )
+        return PoseEstimate(tcos, score, jnp.asarray(sel_idx)[local], qf)
 
 
 @partial(jax.jit, static_argnames=("settings", "n_neighbors", "pose_chunk", "resolution"))

@@ -1,0 +1,210 @@
+"""Benchmark the per-frame fine-refine step (video pose tracking hot path).
+
+Simulates a tracked object rotating at a constant angular velocity and
+measures steady-state ms/frame of OnlinePoseEstimator.refine for both the
+fine-view-cache path (pipeline/fine_cache.py) and the uncached fused path.
+The trajectory's speed (--deg-per-frame) controls the cache miss rate: a
+real handheld-video object moves ~1-3°/frame, so most of the 15° geodesic
+neighbourhood persists between frames.
+
+Production config by default: ViT-L/14-reg bf16 @420², 20k fine grid, 32
+neighbours, 16k-face mesh. Random weights (timing only).
+
+  python -m scripts.bench_refine            # TPU (or whatever the platform is)
+  python -m scripts.bench_refine --tiny     # smoke-test shapes on CPU
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+
+
+def run_refine_bench(args) -> dict:
+    """Run the bench; returns {'cached_ms_median', 'cached_ms_mean',
+    'uncached_ms_mean' (if measured), 'misses_per_frame'}."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", _CACHE)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from freepose_tpu.geometry.rotation import template_poses
+    from freepose_tpu.io.mesh import TriMesh
+    from freepose_tpu.models.dinov2 import VIT_L14_REG, DinoFeatureExtractor, DinoV2Config
+    from freepose_tpu.ops.rasterizer import RasterSettings
+    from freepose_tpu.pipeline.online_pose_estimator import OnlinePoseEstimator
+    from freepose_tpu.pipeline.renderer import TemplateRenderer
+    from freepose_tpu.pipeline.template_bank import TemplateBank
+
+    if args.tiny:
+        cfg = DinoV2Config(hidden_size=32, num_layers=2, num_heads=2, patch_size=14, image_size=56)
+        res, layer, n_fine = 84, 2, 500
+        renderer = TemplateRenderer(
+            n_poses=16, resolution=res, max_vertices=256, max_faces=512,
+            settings=RasterSettings(resolution=res, tile=28, max_faces_per_tile=128),
+        )
+    else:
+        cfg = dataclasses.replace(VIT_L14_REG, dtype=jnp.bfloat16, use_flash=True)
+        res, layer, n_fine = 420, args.layer, args.n_fine
+        renderer = TemplateRenderer(n_poses=600, resolution=res)
+
+    # Synthetic bumpy-sphere mesh near the face cap.
+    rng = np.random.default_rng(0)
+    n_lat = 16 if args.tiny else 90
+    n_lon = 14 if args.tiny else 90
+    verts = []
+    for i in range(n_lat + 1):
+        th = np.pi * i / n_lat
+        for j in range(n_lon):
+            ph = 2 * np.pi * j / n_lon
+            r = 1.0 + 0.15 * np.sin(4 * ph) * np.sin(3 * th)
+            verts.append([r * np.sin(th) * np.cos(ph), r * np.sin(th) * np.sin(ph), r * np.cos(th)])
+    faces = []
+    for i in range(n_lat):
+        for j in range(n_lon):
+            a = i * n_lon + j
+            b = i * n_lon + (j + 1) % n_lon
+            c = (i + 1) * n_lon + j
+            d = (i + 1) * n_lon + (j + 1) % n_lon
+            faces.append([a, b, c])
+            faces.append([b, d, c])
+    v = np.asarray(verts, np.float32)
+    v /= np.abs(v).max()
+    mesh = TriMesh(v, np.asarray(faces, np.int32), rng.random((len(v), 3)).astype(np.float32))
+    print(f"mesh: {len(v)} verts, {len(faces)} faces; platform: {jax.devices()[0].platform}")
+
+    fe = DinoFeatureExtractor(cfg)
+    feature_fn = lambda imgs: fe(imgs, layer=layer, feature_type="patch")
+    bank = TemplateBank(feature_fn, renderer, cache_size=2)
+
+    def axis_angle(axis, deg):
+        axis = np.asarray(axis, np.float64)
+        axis = axis / np.linalg.norm(axis)
+        a = np.radians(deg)
+        kx, ky, kz = axis
+        km = np.array([[0, -kz, ky], [kz, 0, -kx], [-ky, kx, 0]])
+        return np.eye(3) + np.sin(a) * km + (1 - np.cos(a)) * km @ km
+
+    fine = np.asarray(template_poses(n_fine))
+    # Trajectory: start on the grid, rotate steadily around a slowly
+    # precessing axis.
+    traj = [fine[123].copy()]
+    axis = np.array([0.3, 1.0, 0.2])
+    for t in range(args.frames + args.warmup):
+        p = traj[-1].copy()
+        axis = axis + 0.05 * rng.standard_normal(3)
+        p[:3, :3] = axis_angle(axis, args.deg_per_frame) @ p[:3, :3]
+        traj.append(p)
+
+    # Query proposal: render of the current pose (content irrelevant to
+    # timing; realistic shapes/masks).
+    rgb, depth = renderer.render_from_poses(mesh, jnp.asarray(traj[0])[None])
+    props, masks, boxes = renderer.generate_proposals(rgb, depth)
+    proposal = props[0]
+    pmask = masks[0]
+    bbox = boxes[0].astype(jnp.float32)
+    k = renderer.k
+
+    def run(est, label, use_cache):
+        times = []
+        misses = []
+        if use_cache:
+            # Compile every miss-bucket variant + the hit path up front so
+            # remote compiles never land inside the timed window.
+            prev0 = jnp.asarray(traj[0])
+            est.refine_cached(proposal, pmask, mesh, k, bbox, 0.15, prev0,
+                              mask_scores=args.mask_scores, cache_key="bench")
+            cache = est._fine_caches["bench"]
+            for m in (1, 5, 9):
+                cache.drop(list(cache.slot_of)[:m])
+                est.refine_cached(proposal, pmask, mesh, k, bbox, 0.15, prev0,
+                                  mask_scores=args.mask_scores, cache_key="bench")
+            out = est.refine_cached(proposal, pmask, mesh, k, bbox, 0.15, prev0,
+                                    mask_scores=args.mask_scores, cache_key="bench")
+            jax.block_until_ready(out.tcos)
+        for t, prev in enumerate(traj[: args.warmup + args.frames]):
+            prev_j = jnp.asarray(prev)
+            if use_cache:
+                cache = est._fine_caches.get("bench")
+                before = len(cache.slot_of) if cache else 0
+            t0 = time.perf_counter()
+            if use_cache:
+                out = est.refine_cached(
+                    proposal, pmask, mesh, k, bbox, 0.15, prev_j,
+                    mask_scores=args.mask_scores, cache_key="bench",
+                )
+            else:
+                qf = est.coarse.query_features(proposal)
+                out = est.refine(
+                    qf, pmask, mesh, k, bbox, 0.15, prev_j,
+                    mask_scores=args.mask_scores,
+                )
+            jax.block_until_ready(out.tcos)
+            dt = time.perf_counter() - t0
+            if t >= args.warmup:
+                times.append(dt)
+                if use_cache:
+                    misses.append(len(est._fine_caches["bench"].slot_of) - before)
+        ms = 1e3 * float(np.mean(times))
+        med = 1e3 * float(np.median(times))
+        print(
+            f"{label}: {ms:.1f} ms/frame = {1e3 / ms:.2f} FPS/chip "
+            f"(median {med:.1f} ms"
+            + (f", mean misses/frame {np.mean(misses):.1f}" if misses else "")
+            + ")"
+        )
+        return ms, med, (float(np.mean(misses)) if misses else 0.0)
+
+    mk = lambda cap: OnlinePoseEstimator(
+        feature_fn, bank, renderer, n_coarse_poses=renderer.n_poses,
+        n_fine_poses=n_fine, n_neighbors=args.n_neighbors,
+        extractor=fe, feature_layer=layer, fine_cache_capacity=cap,
+    )
+
+    ms_c, med_c, mpf = run(mk(max(args.cache, args.n_neighbors)), "cached ", use_cache=True)
+    out = {"cached_ms_mean": ms_c, "cached_ms_median": med_c, "misses_per_frame": mpf}
+    if not args.no_uncached:
+        ms_u, med_u, _ = run(mk(0), "uncached", use_cache=False)
+        print(f"speedup: {ms_u / ms_c:.2f}x (median {med_u / med_c:.2f}x)")
+        out.update(uncached_ms_mean=ms_u, uncached_ms_median=med_u)
+    return out
+
+
+def make_args(**overrides) -> argparse.Namespace:
+    ap = _parser()
+    args = ap.parse_args([])
+    for k, v in overrides.items():
+        setattr(args, k, v)
+    return args
+
+
+def _parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true", help="smoke-test config (CPU-friendly)")
+    ap.add_argument("--n-fine", type=int, default=20000)
+    ap.add_argument("--n-neighbors", type=int, default=32)
+    ap.add_argument("--layer", type=int, default=22)
+    ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument("--warmup", type=int, default=8)
+    ap.add_argument("--deg-per-frame", type=float, default=2.0)
+    ap.add_argument("--cache", type=int, default=256)
+    ap.add_argument("--no-uncached", action="store_true", help="skip the uncached baseline")
+    ap.add_argument("--mask-scores", action="store_true")
+    return ap
+
+
+def main() -> None:
+    run_refine_bench(_parser().parse_args())
+
+
+if __name__ == "__main__":
+    main()

@@ -50,6 +50,12 @@ def main() -> None:
     ap.add_argument("--n-neighbors", type=int, default=32, help="static cap on the 15-deg ball (measured max: 13 on a 10k grid, 22 on 20k; 16 is a valid fast mode ONLY with --n-fine 10000)")
     ap.add_argument("--no-rescore", action="store_true", help="coarse-only per frame")
     ap.add_argument("--mask-scores", action="store_true")
+    ap.add_argument(
+        "--fine-cache", type=int, default=256, metavar="SLOTS",
+        help="fine-view cache capacity (0 disables): per-view render features/"
+        "masks/stats are exact functions of the fine-grid index, so warm "
+        "frames featurize only the query crop + newly-entered views",
+    )
     args = ap.parse_args()
 
     frames = load_frames(args.video_dir)
@@ -65,6 +71,7 @@ def main() -> None:
         feature_fn, bank, renderer, n_coarse_poses=args.n_coarse,
         n_fine_poses=args.n_fine, n_neighbors=args.n_neighbors,
         extractor=extractor, feature_layer=args.layer,  # fused refine-prepare
+        fine_cache_capacity=max(args.fine_cache, args.n_neighbors) if args.fine_cache else 0,
     )
 
     by_frame: dict[int, list] = {}

@@ -1,0 +1,173 @@
+"""Fine-view cache: exact-equivalence, host neighbourhood parity, eviction."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from freepose_tpu.geometry.rotation import geodesic_distance, template_poses
+from freepose_tpu.io.mesh import TriMesh
+from freepose_tpu.models.dinov2 import DinoFeatureExtractor, DinoV2Config
+from freepose_tpu.ops.rasterizer import RasterSettings
+from freepose_tpu.pipeline.fine_cache import (
+    FineViewCache, bucket_size, select_neighborhood_host,
+)
+from freepose_tpu.pipeline.online_pose_estimator import (
+    OnlinePoseEstimator, select_neighborhood,
+)
+from freepose_tpu.pipeline.renderer import TemplateRenderer
+from freepose_tpu.pipeline.template_bank import TemplateBank
+
+RES = 84
+CFG = DinoV2Config(hidden_size=32, num_layers=2, num_heads=2, patch_size=14, image_size=56)
+
+
+def _mesh():
+    rng = np.random.default_rng(0)
+    n_lat, n_lon = 10, 14
+    verts, faces = [], []
+    for i in range(n_lat + 1):
+        th = np.pi * i / n_lat
+        for j in range(n_lon):
+            ph = 2 * np.pi * j / n_lon
+            r = 1.0 + 0.2 * np.sin(3 * ph) * np.sin(2 * th)
+            verts.append([r * np.sin(th) * np.cos(ph), r * np.sin(th) * np.sin(ph), r * np.cos(th)])
+    for i in range(n_lat):
+        for j in range(n_lon):
+            a = i * n_lon + j
+            b = i * n_lon + (j + 1) % n_lon
+            c = (i + 1) * n_lon + j
+            d = (i + 1) * n_lon + (j + 1) % n_lon
+            faces.append([a, b, c])
+            faces.append([b, d, c])
+    v = np.asarray(verts, np.float32)
+    return TriMesh(v, np.asarray(faces, np.int32), rng.random((len(v), 3)).astype(np.float32))
+
+
+def test_select_neighborhood_host_matches_device():
+    poses = template_poses(2000)
+    rots = np.asarray(poses[:, :3, :3])
+    rng = np.random.default_rng(3)
+    for i in rng.integers(0, 2000, size=8):
+        prev = np.asarray(poses[int(i)])
+        sel_d, idx_d, mask_d = select_neighborhood(poses, jnp.asarray(prev), 15.0, 32)
+        idx_h, mask_h = select_neighborhood_host(rots, prev[:3, :3], 15.0, 32)
+        np.testing.assert_array_equal(np.asarray(idx_d), idx_h)
+        np.testing.assert_array_equal(np.asarray(mask_d), mask_h)
+
+
+def test_bucket_size():
+    assert bucket_size(1, 32) == 4
+    assert bucket_size(4, 32) == 4
+    assert bucket_size(5, 32) == 8
+    assert bucket_size(11, 32) == 16
+    assert bucket_size(17, 32) == 32
+    assert bucket_size(32, 32) == 32
+    # n_neighbors below the bucket ladder still resolves
+    assert bucket_size(3, 4) == 4
+
+
+def test_eviction_protects_current_neighborhood():
+    cache = FineViewCache(capacity=4)
+    cache.ensure_buffers(4, 8, 12, jnp.float32)
+    cache.assign_slots([0, 1, 2, 3], protect=np.asarray([0, 1, 2, 3]))
+    # Cache full; new selection shares 3 entries -> victim must be the one
+    # NOT in the new neighbourhood (grid index 0).
+    sel = np.asarray([1, 2, 3, 9])
+    cache.touch(sel)
+    slots = cache.assign_slots(cache.missing(sel), protect=sel)
+    assert 9 in cache.slot_of and 0 not in cache.slot_of
+    assert set(cache.slot_of.values()) == {0, 1, 2, 3}
+    assert slots.shape == (1,)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    fe = DinoFeatureExtractor(CFG)
+    feature_fn = lambda imgs: fe(imgs, layer=2, feature_type="patch")
+    renderer = TemplateRenderer(
+        n_poses=16, resolution=RES, max_vertices=256, max_faces=512,
+        settings=RasterSettings(resolution=RES, tile=28, max_faces_per_tile=128),
+    )
+    bank = TemplateBank(feature_fn, renderer, cache_size=2)
+    mk = lambda cap: OnlinePoseEstimator(
+        feature_fn, bank, renderer, n_coarse_poses=16, n_fine_poses=200,
+        n_neighbors=8, extractor=fe, feature_layer=2, fine_cache_capacity=cap,
+    )
+    return renderer, bank, mk
+
+
+def test_cached_refine_matches_uncached_over_track(setup):
+    """Walk a wandering trajectory (hits, misses, evictions) — the cached
+    path must reproduce the uncached refine exactly."""
+    renderer, bank, mk = setup
+    est_ref = mk(0)
+    est_c = mk(12)  # small capacity: forces evictions along the walk
+    mesh = _mesh()
+    pack = bank.get("blob-fc", mesh)
+
+    fp = np.asarray(est_ref.fine_poses)
+    rng = np.random.default_rng(7)
+    # Jumpy trajectory across the grid: revisits + far jumps.
+    traj = [5, 6, 5, 120, 121, 5, 60, 61, 120, 5]
+    for t, gi in enumerate(traj):
+        prev = jnp.asarray(fp[gi])
+        gt = jnp.asarray(fp[(gi + 1) % len(fp)])
+        rgb, depth = renderer.render_from_poses(mesh, gt[None])
+        props, masks, boxes = renderer.generate_proposals(rgb, depth)
+        args = dict(
+            k=renderer.k, bbox=boxes[0].astype(jnp.float32), est_scale=0.25,
+            neighborhood_deg=40.0, mask_scores=(t % 2 == 1),
+        )
+        o_ref = est_ref.estimate(props[0], masks[0], pack, mesh, prev_pose=prev, **args)
+        o_c = est_c.estimate(props[0], masks[0], pack, mesh, prev_pose=prev, **args)
+        assert int(o_ref.view_indices) == int(o_c.view_indices)
+        np.testing.assert_allclose(
+            np.asarray(o_c.tcos), np.asarray(o_ref.tcos), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(o_c.scores), np.asarray(o_ref.scores), atol=1e-5
+        )
+    cache = est_c._fine_caches["blob-fc"]
+    assert len(cache.slot_of) <= 12
+    assert cache.feats.shape[0] == 13  # capacity + scratch slot
+
+
+def test_cached_refine_hit_path_runs_single_query(setup):
+    """Second visit to an identical neighbourhood takes the all-hit path."""
+    renderer, bank, mk = setup
+    est = mk(12)
+    mesh = _mesh()
+    pack = bank.get("blob-fc2", mesh)
+    fp = np.asarray(est.fine_poses)
+    prev = jnp.asarray(fp[33])
+    rgb, depth = renderer.render_from_poses(mesh, jnp.asarray(fp[34])[None])
+    props, masks, boxes = renderer.generate_proposals(rgb, depth)
+    args = dict(
+        k=renderer.k, bbox=boxes[0].astype(jnp.float32), est_scale=0.25,
+        neighborhood_deg=40.0,
+    )
+    o1 = est.estimate(props[0], masks[0], pack, mesh, prev_pose=prev, **args)
+    n_cached = len(est._fine_caches["blob-fc2"].slot_of)
+    o2 = est.estimate(props[0], masks[0], pack, mesh, prev_pose=prev, **args)
+    # No new slots on the second, all-hit call; result identical.
+    assert len(est._fine_caches["blob-fc2"].slot_of) == n_cached
+    assert int(o1.view_indices) == int(o2.view_indices)
+    np.testing.assert_allclose(np.asarray(o1.tcos), np.asarray(o2.tcos), atol=1e-6)
+
+
+def test_capacity_validation():
+    fe = DinoFeatureExtractor(CFG)
+    feature_fn = lambda imgs: fe(imgs, layer=2, feature_type="patch")
+    renderer = TemplateRenderer(
+        n_poses=4, resolution=RES, max_vertices=64, max_faces=128,
+        settings=RasterSettings(resolution=RES, tile=28, max_faces_per_tile=64),
+    )
+    bank = TemplateBank(feature_fn, renderer)
+    with pytest.raises(ValueError):
+        OnlinePoseEstimator(
+            feature_fn, bank, renderer, n_fine_poses=50, n_neighbors=32,
+            extractor=fe, fine_cache_capacity=8,
+        )
+    with pytest.raises(ValueError):
+        OnlinePoseEstimator(
+            feature_fn, bank, renderer, n_fine_poses=50, fine_cache_capacity=8,
+        )
