@@ -25,8 +25,10 @@ from freepose_tpu.models.sam2.video import ObjectState, Sam2VideoConfig, Sam2Vid
 from freepose_tpu.ops.sampling import resize_bilinear
 
 
+@partial(jax.jit, static_argnames=("size",))
 def prepare_image(image: jax.Array, size: int) -> jax.Array:
-    """[H, W, 3] uint8/float -> [1, 3, size, size] normalized."""
+    """[H, W, 3] uint8/float -> [1, 3, size, size] normalized. One jit
+    program (eager transpose/resize/normalize chains cost a dispatch each)."""
     img = image.astype(jnp.float32)
     if image.dtype == jnp.uint8:
         img = img / 255.0
@@ -53,6 +55,28 @@ def scale_coords(coords: jax.Array, orig_hw: tuple[int, int], size: int) -> jax.
     h, w = orig_hw
     scale = jnp.asarray([size / w, size / h], coords.dtype)
     return coords * scale
+
+
+@partial(jax.jit, static_argnames=("orig_hw", "non_overlap", "binarize"))
+def postprocess_video_masks(
+    low: jax.Array,  # [N, g4, g4] logits
+    high: jax.Array,  # [N, S, S] logits at model resolution
+    orig_hw: tuple[int, int],
+    non_overlap: bool,
+    binarize: bool,
+):
+    """Per-frame output postprocess in ONE program: resize to the original
+    resolution, optional cross-object suppression, optional on-device
+    threshold. binarize=True ships bool masks to the host — 4× fewer bytes
+    than f32 logits, which dominates per-frame cost on remote-attached TPUs
+    (every consumer thresholds `> 0` anyway)."""
+    high = resize_bilinear(high, orig_hw)
+    if non_overlap and low.shape[0] > 1:
+        low = apply_non_overlapping_constraints(low)
+        high = apply_non_overlapping_constraints(high)
+    if binarize:
+        return low > 0, high > 0
+    return low, high
 
 
 class Sam2ImagePredictor:
@@ -121,6 +145,14 @@ class Sam2VideoPredictor:
         def _embed(params, pixels):
             return self.model.apply({"params": params}, pixels, method=Sam2VideoModel.embed_frame)
 
+        @jax.jit
+        def _prepare_embed(params, image):
+            # resize+normalize+trunk in ONE program (one dispatch per frame).
+            pixels = prepare_image.__wrapped__(image, self.config.image_size)
+            return self.model.apply({"params": params}, pixels, method=Sam2VideoModel.embed_frame)
+
+        self._prepare_embed_fn = _prepare_embed
+
         def _step(params, state, pyramid, raw_s2, pos_s2, frame_idx, num_frames, points, labels, is_init):
             return self.model.apply(
                 {"params": params}, state=state, pyramid=pyramid, raw_s2=raw_s2, pos_s2=pos_s2,
@@ -164,12 +196,29 @@ class Sam2VideoPredictor:
             "pyramid_cache": {},
         }
 
+    def _frame_device(self, state, frame_idx: int):
+        """Frame on device, via the async-prefetch cache when primed."""
+        up = state.setdefault("upload_cache", {})
+        arr = up.pop(frame_idx, None)
+        if arr is None:
+            arr = jnp.asarray(state["frames"][frame_idx])
+        return arr
+
+    def _prefetch_frame(self, state, frame_idx: int) -> None:
+        """Start the host->device copy of a coming frame so it overlaps with
+        the current frame's compute (device_put is asynchronous)."""
+        up = state.setdefault("upload_cache", {})
+        if 0 <= frame_idx < state["num_frames"] and frame_idx not in up:
+            up.clear()  # keep at most one frame in flight
+            up[frame_idx] = jax.device_put(state["frames"][frame_idx])
+
     def _frame_pyramid(self, state, frame_idx: int):
         cache = state["pyramid_cache"]
         if frame_idx not in cache:
-            pixels = prepare_image(jnp.asarray(state["frames"][frame_idx]), self.config.image_size)
             cache.clear()  # single-frame LRU like the reference (:788-818)
-            cache[frame_idx] = self._embed_fn(self.params, pixels)
+            cache[frame_idx] = self._prepare_embed_fn(
+                self.params, self._frame_device(state, frame_idx)
+            )
         return cache[frame_idx]
 
     def add_new_points_or_box(
@@ -204,9 +253,14 @@ class Sam2VideoPredictor:
     def propagate_in_video(
         self, state, start_frame_idx: int = 0, max_frames: int | None = None,
         reverse: bool = False, non_overlap_masks: bool = False,
+        binarize: bool = False,
     ):
         """Generator over frames -> (frame_idx, obj_ids, low_res_masks
         [N, g4, g4], high_res_masks [N, H, W] at ORIGINAL resolution).
+
+        binarize=True yields bool masks thresholded ON DEVICE (>0) instead of
+        f32 logits — 4× less host transfer per frame; every pipeline consumer
+        thresholds anyway.
 
         reverse=True propagates from the prompt frame towards frame 0 (the
         reference's backward pass, sam2_video_predictor.py:644-726); temporal
@@ -237,8 +291,15 @@ class Sam2VideoPredictor:
         else:
             order = range(prompt_frame, end)
 
+        # Software pipeline: prefetch frame t+1's upload during frame t's
+        # compute, start async device->host copies of frame t's masks, and
+        # yield frame t-1 (whose copies have had a full frame to land).
+        # Results are identical to the serial loop; only overlap changes.
+        step = -1 if reverse else 1
+        pending = None
         for t in order:
             pyramid, pos = self._frame_pyramid(state, t)
+            self._prefetch_frame(state, t + step)
             raw_s2, pos_s2 = pyramid[2], pos[2]
             if t == prompt_frame:
                 states, out = self._init_step(
@@ -253,11 +314,21 @@ class Sam2VideoPredictor:
                 states, out = self._track_step(
                     self.params, states, pyramid, raw_s2, pos_s2, jnp.int32(t), jnp.int32(num_frames)
                 )
-            low_j = out["pred_masks"][:, 0]  # [N, g4, g4]
-            high_j = resize_bilinear(out["high_res_masks"][:, 0], state["orig_hw"])
-            if non_overlap_masks and n > 1:
-                # Per-pixel winner-take-all across objects (reference
-                # sam2_base.py:811-829, enabled via non_overlap_masks).
-                low_j = apply_non_overlapping_constraints(low_j)
-                high_j = apply_non_overlapping_constraints(high_j)
-            yield t, list(state["obj_ids"]), np.asarray(low_j), np.asarray(high_j)
+            # Resize + winner-take-all (reference sam2_base.py:811-829) +
+            # optional threshold, one program.
+            low_j, high_j = postprocess_video_masks(
+                out["pred_masks"][:, 0], out["high_res_masks"][:, 0],
+                state["orig_hw"], non_overlap_masks, binarize,
+            )
+            for a in (low_j, high_j):
+                try:
+                    a.copy_to_host_async()
+                except Exception:
+                    pass
+            if pending is not None:
+                pt, pl, ph = pending
+                yield pt, list(state["obj_ids"]), np.asarray(pl), np.asarray(ph)
+            pending = (t, low_j, high_j)
+        if pending is not None:
+            pt, pl, ph = pending
+            yield pt, list(state["obj_ids"]), np.asarray(pl), np.asarray(ph)

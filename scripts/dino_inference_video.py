@@ -83,7 +83,18 @@ def main() -> None:
     prev_pose: dict[str, jnp.ndarray] = {}
     mesh_cache: dict[str, object] = {}
     results: list[PoseResult] = []
+    frame_dev: dict[int, jnp.ndarray] = {}  # 1-frame upload prefetch
+    import jax
+
     for f in range(len(frames)):
+        frame_f = frame_dev.pop(f, None)
+        if frame_f is None:
+            frame_f = jnp.asarray(frames[f])
+        if f + 1 < len(frames):
+            # Start next frame's host->device copy so it overlaps this
+            # frame's compute (device_put is asynchronous).
+            frame_dev.clear()
+            frame_dev[f + 1] = jax.device_put(frames[f + 1])
         for p in by_frame.get(f, []):
             t0 = time.perf_counter()
             mesh_id = p["mesh"]
@@ -93,7 +104,7 @@ def main() -> None:
             mask = proposal_mask(p)
             bbox = proposal_bbox_xyxy(p).astype(np.float32)
             prop = extract_proposals(
-                jnp.asarray(frames[f]), jnp.asarray(mask[None]), jnp.asarray(bbox[None]),
+                frame_f, jnp.asarray(mask[None]), jnp.asarray(bbox[None]),
                 target_size=420, bbox_extend=0.2,
             )
             item = templates.get_template_by_name(mesh_id)

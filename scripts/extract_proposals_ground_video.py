@@ -104,8 +104,8 @@ def main() -> None:
     per_track_scores: dict[int, list] = {i: [] for i in range(len(boxes0))}
     track_masks: dict[tuple, np.ndarray] = {}
     track_boxes: dict[tuple, np.ndarray] = {}
-    for t, obj_ids, low, high in predictor.propagate_in_video(state):
-        masks = high > 0  # [N, H, W]
+    for t, obj_ids, low, masks in predictor.propagate_in_video(state, binarize=True):
+        # masks [N, H, W] bool, thresholded on device (4x less transfer)
         for oi in range(len(obj_ids)):
             m = masks[oi]
             if m.sum() < args.min_mask_px:

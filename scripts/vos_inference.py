@@ -42,8 +42,8 @@ def main() -> None:
     out = Path(args.out_dir)
     out.mkdir(parents=True, exist_ok=True)
     preds = []
-    for t, _, _, high in predictor.propagate_in_video(state):
-        mask = high[0] > 0
+    for t, _, _, high in predictor.propagate_in_video(state, binarize=True):
+        mask = high[0]
         preds.append(mask)
         Image.fromarray((mask * 255).astype(np.uint8)).save(out / f"{t:06d}.png")
     print(f"propagated {len(preds)} masks -> {out}")

@@ -178,3 +178,27 @@ def test_video_reverse_propagation(video_predictor):
         np.asarray(out_fwd["object_score_logits"]),
         atol=1e-7,
     )
+
+
+def test_video_binarize_matches_logits_threshold(video_predictor):
+    """binarize=True must equal host-side `logits > 0` exactly (same program
+    up to the threshold), incl. the non-overlap suppression path."""
+    rng = np.random.default_rng(4)
+    frames = (rng.random((3, 48, 80, 3)) * 255).astype(np.uint8)
+
+    def run(**kw):
+        state = video_predictor.init_state(frames)
+        state = video_predictor.add_new_points_or_box(state, 0, obj_id=0, box=np.array([5, 5, 30, 30]))
+        state = video_predictor.add_new_points_or_box(
+            state, 0, obj_id=1, points=np.array([[50.0, 20.0]]), labels=np.array([1])
+        )
+        return list(video_predictor.propagate_in_video(state, **kw))
+
+    for non_overlap in (False, True):
+        ref = run(non_overlap_masks=non_overlap)
+        binz = run(non_overlap_masks=non_overlap, binarize=True)
+        for (t1, _, low_f, high_f), (t2, _, low_b, high_b) in zip(ref, binz):
+            assert t1 == t2
+            assert low_b.dtype == bool and high_b.dtype == bool
+            np.testing.assert_array_equal(low_f > 0, low_b)
+            np.testing.assert_array_equal(high_f > 0, high_b)
