@@ -1,0 +1,189 @@
+"""End-to-end per-frame video pipeline benchmark on one chip.
+
+Replicates the steady-state per-frame work of the full video flow
+(reference README.md pipeline: extract_proposals_ground_video ->
+dino_inference_video): SAM2 hiera-L mask propagation for the tracked object
+PLUS the fine pose refine (fine-view cache) per frame, serial on one chip.
+Detection (GroundingDINO), retrieval and scale estimation run once per
+video, so their cost amortizes to ~0 per frame and is excluded.
+
+Prints per-stage and combined ms/frame. The combined FPS is the honest
+single-chip end-to-end number; the two stages are independent programs, so
+a 2-chip stage-parallel (or N-chip frame-parallel) deployment divides the
+serial sum accordingly.
+
+  python -m scripts.bench_e2e            # production shapes on the ambient platform
+  python -m scripts.bench_e2e --tiny     # smoke test
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+
+
+def main() -> None:
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", _CACHE)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from freepose_tpu.io.mesh import TriMesh
+    from freepose_tpu.models.dinov2 import VIT_L14_REG, DinoFeatureExtractor, DinoV2Config
+    from freepose_tpu.models.sam2.model import Sam2Config
+    from freepose_tpu.models.sam2.predictor import Sam2VideoPredictor
+    from freepose_tpu.models.sam2.video import Sam2VideoConfig, Sam2VideoModel, init_object_state
+    from freepose_tpu.ops.rasterizer import RasterSettings
+    from freepose_tpu.pipeline.online_pose_estimator import OnlinePoseEstimator
+    from freepose_tpu.pipeline.renderer import TemplateRenderer
+    from freepose_tpu.pipeline.template_bank import TemplateBank
+    from scripts.bench_sam2 import random_params_like
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--frames", type=int, default=24)
+    ap.add_argument("--warmup", type=int, default=6)
+    ap.add_argument("--deg-per-frame", type=float, default=2.0)
+    args = ap.parse_args()
+
+    rng = np.random.default_rng(0)
+
+    # ---- pose-refine stage (from bench_refine) ----
+    if args.tiny:
+        dcfg = DinoV2Config(hidden_size=32, num_layers=2, num_heads=2, patch_size=14, image_size=56)
+        res, layer, n_fine = 84, 2, 500
+        renderer = TemplateRenderer(
+            n_poses=16, resolution=res, max_vertices=256, max_faces=512,
+            settings=RasterSettings(resolution=res, tile=28, max_faces_per_tile=128),
+        )
+        hw = (96, 128)
+        n_lat = n_lon = 14
+    else:
+        dcfg = dataclasses.replace(VIT_L14_REG, dtype=jnp.bfloat16, use_flash=True)
+        res, layer, n_fine = 420, 22, 20000
+        renderer = TemplateRenderer(n_poses=600, resolution=res)
+        hw = (720, 1280)
+        n_lat = n_lon = 90
+
+    verts, faces = [], []
+    for i in range(n_lat + 1):
+        th = np.pi * i / n_lat
+        for j in range(n_lon):
+            ph = 2 * np.pi * j / n_lon
+            r = 1.0 + 0.15 * np.sin(4 * ph) * np.sin(3 * th)
+            verts.append([r * np.sin(th) * np.cos(ph), r * np.sin(th) * np.sin(ph), r * np.cos(th)])
+    for i in range(n_lat):
+        for j in range(n_lon):
+            a = i * n_lon + j
+            b = i * n_lon + (j + 1) % n_lon
+            c = (i + 1) * n_lon + j
+            d = (i + 1) * n_lon + (j + 1) % n_lon
+            faces.append([a, b, c])
+            faces.append([b, d, c])
+    v = np.asarray(verts, np.float32)
+    v /= np.abs(v).max()
+    mesh = TriMesh(v, np.asarray(faces, np.int32), rng.random((len(v), 3)).astype(np.float32))
+
+    fe = DinoFeatureExtractor(dcfg)
+    feature_fn = lambda imgs: fe(imgs, layer=layer, feature_type="patch")
+    bank = TemplateBank(feature_fn, renderer, cache_size=2)
+    est = OnlinePoseEstimator(
+        feature_fn, bank, renderer, n_coarse_poses=renderer.n_poses,
+        n_fine_poses=n_fine, n_neighbors=32 if not args.tiny else 8,
+        extractor=fe, feature_layer=layer, fine_cache_capacity=256,
+    )
+
+    def axis_angle(axis, deg):
+        axis = np.asarray(axis, np.float64)
+        axis = axis / np.linalg.norm(axis)
+        a = np.radians(deg)
+        kx, ky, kz = axis
+        km = np.array([[0, -kz, ky], [kz, 0, -kx], [-ky, kx, 0]])
+        return np.eye(3) + np.sin(a) * km + (1 - np.cos(a)) * km @ km
+
+    fp = np.asarray(est.fine_poses)
+    traj = [fp[123].copy()]
+    axis = np.array([0.3, 1.0, 0.2])
+    for _ in range(args.frames + args.warmup):
+        p = traj[-1].copy()
+        axis = axis + 0.05 * rng.standard_normal(3)
+        p[:3, :3] = axis_angle(axis, args.deg_per_frame) @ p[:3, :3]
+        traj.append(p)
+
+    rgb, depth = renderer.render_from_poses(mesh, jnp.asarray(traj[0])[None])
+    props, masks, boxes = renderer.generate_proposals(rgb, depth)
+    proposal, pmask, bbox = props[0], masks[0], boxes[0].astype(jnp.float32)
+    k = renderer.k
+
+    # ---- SAM2 stage (from bench_sam2) ----
+    if args.tiny:
+        from tests.test_sam2_video import OUR_CFG as vcfg
+    else:
+        sam = Sam2Config()
+        sam = dataclasses.replace(
+            sam, hiera=dataclasses.replace(sam.hiera, dtype=jnp.bfloat16), dtype=jnp.bfloat16
+        )
+        vcfg = Sam2VideoConfig(sam=sam)
+    vmodel = Sam2VideoModel(vcfg)
+    state0 = init_object_state(vcfg)
+    p_cap = vcfg.max_point_prompts
+
+    def full(mdl, pixels):
+        pyramid, pos = mdl.embed_frame(pixels)
+        st, _ = mdl.track_step(
+            state0, pyramid, pyramid[2], pos[2], jnp.int32(0), jnp.int32(3),
+            points=jnp.zeros((1, 1, p_cap, 2)),
+            labels=jnp.full((1, 1, p_cap), -10, jnp.int32), is_init=True,
+        )
+        return mdl.track_step(st, pyramid, pyramid[2], pos[2], jnp.int32(1), jnp.int32(3))
+
+    def init_fn():
+        pixels = jnp.zeros((1, 3, vcfg.image_size, vcfg.image_size), jnp.float32)
+        return vmodel.init(jax.random.PRNGKey(0), pixels, method=full)["params"]
+
+    pred = Sam2VideoPredictor(vcfg, random_params_like(init_fn), max_objects=1)
+    n_total = args.frames + args.warmup
+    frames = rng.integers(0, 255, size=(n_total, *hw, 3), dtype=np.uint8)
+    vstate = pred.init_state(frames)
+    vstate = pred.add_new_points_or_box(
+        vstate, 0, obj_id=0, box=np.array([hw[1] * 0.2, hw[0] * 0.2, hw[1] * 0.6, hw[0] * 0.6], np.float32)
+    )
+
+    print(f"platform: {jax.devices()[0].platform}; {hw[0]}x{hw[1]} video, "
+          f"{len(faces)}-face mesh, fine grid {n_fine}")
+
+    t_sam, t_ref, t_tot = [], [], []
+    gen = pred.propagate_in_video(vstate, binarize=True)
+    for i, prev in enumerate(traj[:n_total]):
+        f0 = time.perf_counter()
+        t, obj_ids, low, high = next(gen)  # SAM2 mask for this frame (np bool)
+        f1 = time.perf_counter()
+        out = est.refine_cached(
+            proposal, pmask, mesh, k, bbox, 0.15, jnp.asarray(prev), cache_key="e2e"
+        )
+        tco = np.asarray(out.tcos)  # host fetch = the CSV row
+        f2 = time.perf_counter()
+        if i >= args.warmup:
+            t_sam.append(f1 - f0)
+            t_ref.append(f2 - f1)
+            t_tot.append(f2 - f0)
+    ms = lambda a: 1e3 * float(np.mean(a))
+    print(f"sam2 propagate: {ms(t_sam):.1f} ms/frame")
+    print(f"fine refine   : {ms(t_ref):.1f} ms/frame")
+    print(
+        f"e2e serial    : {ms(t_tot):.1f} ms/frame = {1e3 / ms(t_tot):.2f} FPS/chip "
+        f"(stage-parallel 2-chip bound: {1e3 / max(ms(t_sam), ms(t_ref)):.2f} FPS)"
+    )
+
+
+if __name__ == "__main__":
+    main()
