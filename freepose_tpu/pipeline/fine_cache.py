@@ -33,29 +33,44 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _grid_dists_deg(fine_rots: np.ndarray, rot: np.ndarray) -> np.ndarray:
+    tr = np.einsum("nij,kj->nik", fine_rots, rot, optimize=True)
+    tr = tr[:, 0, 0] + tr[:, 1, 1] + tr[:, 2, 2]
+    return np.degrees(np.arccos(np.clip((tr - 1.0) / 2.0, -1.0, 1.0)))
+
+
 def select_neighborhood_host(
     fine_rots: np.ndarray,  # [N, 3, 3] pose-grid rotations
     prev_rot: np.ndarray,  # [3, 3]
     neighborhood_deg: float,
     n_neighbors: int,
     n_extra: int = 0,
+    extra_center: np.ndarray | None = None,  # [3, 3] prefetch-ordering centre
 ):
     """Host mirror of online_pose_estimator.select_neighborhood: nearest
     n_neighbors grid indices (ascending distance, stable ties like
     lax.top_k) + the within-threshold mask (index 0 always kept). With
-    n_extra > 0, also returns the next-nearest n_extra indices beyond the
-    neighbourhood — prefetch candidates for bucket padding."""
-    tr = np.einsum("nij,kj->nik", fine_rots, prev_rot, optimize=True)
-    tr = tr[:, 0, 0] + tr[:, 1, 1] + tr[:, 2, 2]
-    cos = np.clip((tr - 1.0) / 2.0, -1.0, 1.0)
-    dists = np.degrees(np.arccos(cos))
+    n_extra > 0, also returns n_extra prefetch candidates outside the
+    neighbourhood, nearest to `extra_center` (default: prev_rot) — pass the
+    EXTRAPOLATED next pose to prefetch where the trajectory is going.
+    Prefetch ordering never affects the selection itself (exactness)."""
+    dists = _grid_dists_deg(fine_rots, prev_rot)
+    if not n_extra:
+        idx = np.argsort(dists, kind="stable")[:n_neighbors]
+        mask = dists[idx] < neighborhood_deg
+        mask[0] = True
+        return idx.astype(np.int32), mask
     order = np.argsort(dists, kind="stable")[: n_neighbors + n_extra]
     idx = order[:n_neighbors]
     mask = dists[idx] < neighborhood_deg
     mask[0] = True
-    if n_extra:
-        return idx.astype(np.int32), mask, order[n_neighbors:].astype(np.int32)
-    return idx.astype(np.int32), mask
+    if extra_center is None:
+        extra = order[n_neighbors:]
+    else:
+        pd = _grid_dists_deg(fine_rots, extra_center)
+        pd[idx] = np.inf  # never re-offer the selected neighbourhood
+        extra = np.argsort(pd, kind="stable")[:n_extra]
+    return idx.astype(np.int32), mask, extra.astype(np.int32)
 
 
 class FineViewCache:

@@ -117,8 +117,17 @@ class OnlinePoseEstimator:
                 f"least one neighbourhood (n_neighbors={n_neighbors})"
             )
         self.fine_cache_capacity = fine_cache_capacity
+        # Extra views pre-cached per miss frame by rounding the miss batch up
+        # a bucket, filled with predictively-ordered prefetch. Measured at
+        # production shapes (2°/frame, v5e): quota 4 and quota 0 have equal
+        # MEAN ms/frame (total per-view work is invariant; speculative waste
+        # ≈ amortization gain) but quota 4 halves the MEDIAN (74.5 vs 118 ms
+        # — most frames become all-hit), so it's the better default for
+        # latency. Set 0 to fill only the natural bucket padding.
+        self.prefetch_quota = 4
         self._fine_caches: dict = {}
         self._fine_rots_np = np.asarray(self.fine_poses[:, :3, :3])
+        self._last_prev_rot: dict = {}
         self._padded_meshes: dict = {}
 
     def _padded_mesh(self, key, mesh):
@@ -246,9 +255,17 @@ class OnlinePoseEstimator:
             cache.ensure_buffers(grid * grid, cfg.hidden_size, res, cfg.dtype)
 
         prev = np.asarray(prev_pose)
+        # Prefetch ordering centres on the EXTRAPOLATED next pose (constant
+        # angular velocity: R_pred = R_rel @ R_prev) so miss-frame padding
+        # pre-caches the views the trajectory is about to enter. Selection
+        # itself always uses prev — prediction never changes results.
+        last = self._last_prev_rot.get(key)
+        r_prev = prev[:3, :3]
+        pred = (r_prev @ last.T) @ r_prev if last is not None else None
+        self._last_prev_rot[key] = r_prev
         sel_idx, valid, near_extra = select_neighborhood_host(
-            self._fine_rots_np, prev[:3, :3], neighborhood_deg, self.n_neighbors,
-            n_extra=self.n_neighbors,
+            self._fine_rots_np, r_prev, neighborhood_deg, self.n_neighbors,
+            n_extra=self.n_neighbors, extra_center=pred,
         )
         missing = cache.missing(sel_idx)
         cache.touch(sel_idx)
@@ -265,19 +282,22 @@ class OnlinePoseEstimator:
         scaleq = jnp.asarray(est_scale, jnp.float32)
 
         if missing:
-            m_b = bucket_size(len(missing), self.n_neighbors)
+            # Round the miss batch UP a bucket and fill ALL padding with
+            # PREFETCH: the nearest not-yet-cached poses around the predicted
+            # next pose are what the trajectory needs next, so miss frames
+            # pre-cache them and the following frames go all-hit. Total
+            # per-view work is invariant (each view is computed exactly
+            # once); bigger batches just amortize dispatch overhead better.
+            # Prefetch is capped so evictions always find a victim outside
+            # the protected neighbourhood (see FineViewCache.assign_slots).
+            max_prefetch = cache.capacity - self.n_neighbors
+            target = len(missing) + min(self.prefetch_quota, max_prefetch)
+            m_b = bucket_size(min(target, self.n_neighbors), self.n_neighbors)
             pad = m_b - len(missing)
-            if pad:
-                # Fill the bucket's padding with PREFETCH instead of garbage:
-                # the nearest not-yet-cached poses just beyond the
-                # neighbourhood are what a continuing trajectory needs next,
-                # so miss frames pre-cache them and later frames go all-hit.
-                # Capped so evictions always find a victim outside the
-                # protected neighbourhood (see FineViewCache.assign_slots).
-                max_prefetch = cache.capacity - self.n_neighbors
+            if pad > 0:
                 prefetch = cache.missing(near_extra)[: min(pad, max_prefetch)]
                 missing = missing + prefetch
-                pad = m_b - len(missing)
+            pad = m_b - len(missing)
             write_slots = cache.assign_slots(missing, protect=sel_idx)
             new_idx = np.asarray(missing, np.int32)
             if pad:

@@ -171,3 +171,54 @@ def test_capacity_validation():
         OnlinePoseEstimator(
             feature_fn, bank, renderer, n_fine_poses=50, fine_cache_capacity=8,
         )
+
+
+def test_predictive_prefetch_reduces_miss_frames(setup):
+    """On a steadily rotating trajectory, prefetch (bucket round-up around
+    the extrapolated pose) must convert most miss frames into all-hit
+    frames, with identical results to the no-prefetch cache."""
+    renderer, bank, mk = setup
+    mesh = _mesh()
+    pack = bank.get("blob-pf", mesh)
+
+    def axis_angle(deg):
+        a = np.radians(deg)
+        return np.array([
+            [np.cos(a), -np.sin(a), 0.0],
+            [np.sin(a), np.cos(a), 0.0],
+            [0.0, 0.0, 1.0],
+        ], np.float64)
+
+    def run(quota):
+        est = mk(48)
+        est.prefetch_quota = quota
+        fp = np.asarray(est.fine_poses)
+        pose = fp[50].copy()
+        rgb, depth = renderer.render_from_poses(mesh, jnp.asarray(pose)[None])
+        props, masks, boxes = renderer.generate_proposals(rgb, depth)
+        miss_frames = 0
+        results = []
+        for t in range(10):
+            cache = est._fine_caches.get("blob-pf-k")
+            before = len(cache.slot_of) + len(cache.free) * 0 if cache else 0
+            n_before = len(cache.slot_of) if cache else 0
+            out = est.refine_cached(
+                props[0], masks[0], mesh, renderer.k,
+                boxes[0].astype(jnp.float32), 0.25, jnp.asarray(pose),
+                neighborhood_deg=60.0, cache_key="blob-pf-k",
+            )
+            cache = est._fine_caches["blob-pf-k"]
+            if t > 0 and len(cache.slot_of) != n_before:
+                miss_frames += 1
+            results.append((int(out.view_indices), np.asarray(out.tcos)))
+            pose = pose.copy()
+            pose[:3, :3] = axis_angle(6.0) @ pose[:3, :3]
+        return miss_frames, results
+
+    miss_pf, res_pf = run(quota=4)
+    miss_np, res_np = run(quota=0)
+    # Identical estimates either way (prefetch never changes selection).
+    for (i1, t1), (i2, t2) in zip(res_pf, res_np):
+        assert i1 == i2
+        np.testing.assert_allclose(t1, t2, atol=1e-5)
+    assert miss_pf <= miss_np
