@@ -140,11 +140,15 @@ def cou_bb(bb_est, bb_gt) -> float:
 
 
 class MaskRenderer:
-    """Depth-mask renderer for `cus`, replacing the eval-side GL renderers
-    (reference renderer_vispy.py / renderer_cpp.py): renders padded meshes
-    with the batched TPU rasterizer at the eval image size."""
+    """Depth-mask renderer for `cus`/`vsd`, replacing the eval-side GL
+    renderers (reference renderer_vispy.py / renderer_cpp.py): renders
+    padded meshes with the batched TPU rasterizer at the eval image size, or
+    with the native C++ host rasterizer (ops/raster_native.py, same
+    conventions — the bop_renderer counterpart) via backend="native" /
+    automatically when no accelerator is attached."""
 
-    def __init__(self, width: int, height: int, max_vertices: int = 8192, max_faces: int = 16384):
+    def __init__(self, width: int, height: int, max_vertices: int = 8192,
+                 max_faces: int = 16384, backend: str = "auto"):
         self.size = max(width, height)
         self.width = width
         self.height = height
@@ -154,15 +158,43 @@ class MaskRenderer:
         )
         self.max_vertices = max_vertices
         self.max_faces = max_faces
+        if backend == "auto":
+            import jax as _jax
+
+            on_accel = _jax.devices()[0].platform in ("tpu", "axon", "gpu")
+            backend = "device" if on_accel else "native"
+        if backend == "native":
+            from freepose_tpu.ops import raster_native
+
+            if not raster_native.available():
+                backend = "device"  # no C++ toolchain: XLA-on-CPU fallback
+        self.backend = backend
         self._meshes: dict = {}
 
     def add_object(self, obj_id, mesh) -> None:
+        if self.backend == "native":
+            self._meshes[obj_id] = (
+                np.asarray(mesh.vertices, np.float32), np.asarray(mesh.faces, np.int32),
+            )
+            return
         from freepose_tpu.io.mesh import pad_mesh
 
         v, c, f, valid = pad_mesh(mesh, self.max_vertices, self.max_faces)
         self._meshes[obj_id] = tuple(jnp.asarray(x) for x in (v, c, f, valid))
 
     def render_depth(self, obj_id, r, t, k) -> np.ndarray:
+        if self.backend == "native":
+            from freepose_tpu.ops import raster_native
+
+            v, f = self._meshes[obj_id]
+            pose = np.eye(4, dtype=np.float32)
+            pose[:3, :3] = np.asarray(r, np.float32)
+            pose[:3, 3] = np.asarray(t, np.float32).reshape(3)
+            _, depth = raster_native.rasterize_native(
+                v, f, pose[None], np.asarray(k, np.float32),
+                height=self.height, width=self.width,
+            )
+            return depth[0]
         v, c, f, valid = self._meshes[obj_id]
         pose = jnp.eye(4).at[:3, :3].set(jnp.asarray(r)).at[:3, 3].set(jnp.asarray(t).reshape(3))
         _, depth = rasterize(v, c, f, valid, pose[None], jnp.asarray(k, jnp.float32), self.settings)
