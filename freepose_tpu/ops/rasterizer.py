@@ -58,12 +58,15 @@ def rasterize(
     faces: jax.Array,  # [F, 3] int32
     face_valid: jax.Array,  # [F] bool (padding mask)
     poses: jax.Array,  # [P, 4, 4] camera-from-object (OpenCV convention)
-    k: jax.Array,  # [3, 3] intrinsics
+    k: jax.Array,  # [3, 3] intrinsics, or [P, 3, 3] per-pose (crop-adjusted)
     settings: RasterSettings = RasterSettings(),
 ) -> tuple[jax.Array, jax.Array]:
     """Render P poses -> (rgb [P, R, R, 3] in [0,1], depth [P, R, R])."""
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-    if settings.backend == "pallas" or (settings.backend == "auto" and on_tpu):
+    per_pose_k = k.ndim == 3
+    if not per_pose_k and (
+        settings.backend == "pallas" or (settings.backend == "auto" and on_tpu)
+    ):
         from freepose_tpu.ops.rasterizer_pallas import rasterize_pallas
 
         return rasterize_pallas(
@@ -76,8 +79,9 @@ def rasterize(
     n_tiles = grid * grid
     m = min(settings.max_faces_per_tile, faces.shape[0])
 
-    def render_one(pose: jax.Array):
-        uv, z = _project_vertices(vertices, pose, k)
+    def render_one(pose_and_k):
+        pose, k_i = pose_and_k
+        uv, z = _project_vertices(vertices, pose, k_i)
         tri_uv = uv[faces]  # [F, 3, 2]
         tri_z = z[faces]  # [F, 3]
         in_front = jnp.all(tri_z > settings.znear, axis=-1)
@@ -183,7 +187,8 @@ def rasterize(
     # Sequential map over poses: each pose already exposes tiles×faces×pixels
     # of vector parallelism; batching poses with vmap would multiply the
     # [T, M, tile²] transients past HBM capacity (e.g. 128 poses × 180 MB).
-    return jax.lax.map(render_one, poses)
+    ks = k if per_pose_k else jnp.broadcast_to(k, (poses.shape[0], 3, 3))
+    return jax.lax.map(render_one, (poses, ks))
 
 
 def render_meshes(

@@ -80,12 +80,23 @@ class TrackingRefiner:
         new_k = update_k_with_crop(k, bbox[None], RES, RES)[0]
         return crop, bbox, new_k
 
+    def _padded(self, mesh: TriMesh, scale: float = 1.0):
+        """pad_mesh result cached per (mesh, scale) — re-uploading vertex
+        data per frame costs a host->device transfer each call."""
+        cache = getattr(self, "_pad_cache", None)
+        if cache is None:
+            cache = self._pad_cache = {}
+        key = (id(mesh), scale)
+        if key not in cache:
+            v, c, f, valid = pad_mesh(mesh, self.max_vertices, self.max_faces)
+            cache[key] = tuple(
+                jnp.asarray(x) for x in (v * scale, c, f, valid)
+            )
+        return cache[key]
+
     def _render(self, mesh: TriMesh, k: jax.Array, pose: jax.Array, scale: float = 1.0):
-        v, c, f, valid = pad_mesh(mesh, self.max_vertices, self.max_faces)
-        rgb, depth = rasterize(
-            jnp.asarray(v * scale), jnp.asarray(c), jnp.asarray(f), jnp.asarray(valid),
-            pose[None], k, self.settings,
-        )
+        v, c, f, valid = self._padded(mesh, scale)
+        rgb, depth = rasterize(v, c, f, valid, pose[None], k, self.settings)
         return rgb[0], depth[0]
 
     def _patch_feats(self, images: jax.Array) -> jax.Array:
@@ -104,11 +115,42 @@ class TrackingRefiner:
         )
         return np.asarray(confidence_map(feats[0], feats[1], mask37))
 
-    def n_inliers_per_pose(self, mesh: TriMesh, frames: np.ndarray, k: jax.Array, poses: np.ndarray):
+    def pose_confidence_batch(
+        self, mesh: TriMesh, frames: jax.Array, k: jax.Array, poses: jax.Array
+    ) -> np.ndarray:
+        """Batched pose_confidence: [B, 3, H, W] photos + [B, 4, 4] poses ->
+        [B, 37, 37]. One crop/render/feature batch instead of B serial
+        per-frame chains (the reference's dominant smooth_poses cost,
+        tracking_refiner.py:92-100 — render + 2 ViT-B per frame)."""
+        pts = jnp.asarray(mesh.sample_surface(100, seed=42))
+        bboxes = crop_bbox_around_projection(poses, pts, k, RES, RES, lamb=1.4)
+        crops = jax.vmap(
+            lambda img, bb: roi_align(img, bb[None], RES, RES, sampling_ratio=2)[0]
+        )(frames, bboxes)
+        new_ks = update_k_with_crop(k, bboxes, RES, RES)  # [B, 3, 3]
+        v, c, f, valid = self._padded(mesh)
+        render_rgb, render_depth = rasterize(v, c, f, valid, poses, new_ks, self.settings)
+        mask37 = (
+            resize_area((render_depth > 0).astype(jnp.float32), (GRID, GRID)) > 0.5
+        )  # [B, G, G]
+        b = frames.shape[0]
+        feats = self._patch_feats(
+            jnp.concatenate([crops, render_rgb.transpose(0, 3, 1, 2)])
+        )
+        cos = jnp.sum(feats[:b] * feats[b:], axis=-1).reshape(b, GRID, GRID)
+        return np.asarray(cos * mask37)
+
+    def n_inliers_per_pose(
+        self, mesh: TriMesh, frames: np.ndarray, k: jax.Array, poses: np.ndarray,
+        chunk: int = 8,
+    ):
         """Confidence + inlier count for every frame (reference :92-100)."""
-        confs = np.stack([
-            self.pose_confidence(mesh, jnp.asarray(frames[i]), k, jnp.asarray(poses[i]))
-            for i in range(len(frames))
+        confs = np.concatenate([
+            self.pose_confidence_batch(
+                mesh, jnp.asarray(frames[i : i + chunk]), k,
+                jnp.asarray(poses[i : i + chunk]),
+            )
+            for i in range(0, len(frames), chunk)
         ])
         thr = float(quantile_threshold(jnp.asarray(confs)))
         return (confs > thr).sum(axis=(1, 2)), thr

@@ -128,3 +128,17 @@ def test_get_query_frames_suppression():
     frames = TrackingRefiner.get_query_frames(inliers, n_reference=3)
     assert len(frames) == 3
     assert 6 in frames and 1 in frames
+
+
+def test_pose_confidence_batch_matches_serial(refiner):
+    """Batched confidence (one crop/render/feature batch) must equal the
+    per-frame path."""
+    mesh = _mesh()
+    poses = _gt_poses(3)
+    frames = _render_video(mesh, poses)
+    photos = jnp.asarray(frames.transpose(0, 3, 1, 2))
+    batch = refiner.pose_confidence_batch(mesh, photos, K, jnp.asarray(poses))
+    assert batch.shape == (3, GRID, GRID)
+    for i in range(3):
+        solo = refiner.pose_confidence(mesh, photos[i], K, jnp.asarray(poses[i]))
+        np.testing.assert_allclose(batch[i], solo, atol=2e-5)
