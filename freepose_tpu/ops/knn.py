@@ -20,7 +20,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 @partial(jax.jit, static_argnames=("k",))
@@ -60,7 +60,7 @@ def topk_search_sharded(bank: jax.Array, queries: jax.Array, k: int, mesh: Mesh)
         mesh=mesh,
         in_specs=(P("model", None), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     return fn(bank, queries)
 

@@ -220,6 +220,62 @@ class OnlinePoseEstimator:
         )
         return PoseEstimate(tcos, top_scores, sel_idx[local_idx], query_feat)
 
+    def refine_sharded(
+        self,
+        query_feat: jax.Array,
+        proposal_mask: jax.Array,
+        mesh,
+        k: jax.Array,
+        bbox: jax.Array,
+        est_scale: float,
+        prev_pose: jax.Array,
+        device_mesh=None,
+        axis: str = "model",
+        neighborhood_deg: float = 15.0,
+        mask_scores: bool = False,
+    ) -> PoseEstimate:
+        """refine() with the per-frame hot work — the n_neighbors renders and
+        their ViT feature batch, ~70% of the measured step (STATUS.md) —
+        sharded over a device mesh axis via shard_map.
+
+        Each chip renders + featurizes n_neighbors/axis_size views; the tiny
+        rescore + z-lift epilogue runs on the reassembled arrays. This is the
+        latency-scaling axis the reference lacks entirely (its SLURM arrays
+        only scale throughput across videos, SURVEY.md §2.7/§5.8): on a
+        v5p-8, 32 neighbor views fan out 4-per-chip, cutting the dominant
+        feature term ~8×. Results are identical to single-device refine()
+        (parity-tested on the 8-device CPU mesh)."""
+        if self.extractor is None:
+            raise ValueError("refine_sharded requires `extractor`")
+        if device_mesh is None:
+            from freepose_tpu.parallel.mesh import make_mesh
+
+            device_mesh = make_mesh()
+        n_dev = device_mesh.shape[axis]
+        if self.n_neighbors % n_dev:
+            raise ValueError(
+                f"n_neighbors ({self.n_neighbors}) must divide evenly over "
+                f"the '{axis}' mesh axis ({n_dev} devices)"
+            )
+        v, c, f, fv = self.renderer._padded(mesh, self.rendering_scale)
+        sel_poses, sel_idx, valid, render_feats, render_masks, stats = (
+            _refine_prepare_fused_sharded(
+                self.fine_poses, prev_pose, jnp.float32(neighborhood_deg),
+                v, c, f, fv, self.renderer.k, self.extractor.params,
+                self.renderer.settings, self.n_neighbors, self.renderer.pose_chunk,
+                self.renderer.resolution, self.extractor, self.feature_layer,
+                device_mesh, axis,
+            )
+        )
+        grid = int(round(render_feats.shape[1] ** 0.5))
+        tcos, top_scores, local_idx = _refine_finish(
+            render_feats, query_feat, valid, render_masks, proposal_mask, stats,
+            sel_poses, k, jnp.asarray(bbox, jnp.float32),
+            jnp.asarray(est_scale, jnp.float32), grid, mask_scores,
+            self.rendering_scale,
+        )
+        return PoseEstimate(tcos, top_scores, sel_idx[local_idx], query_feat)
+
     def refine_cached(
         self,
         proposal: jax.Array,
@@ -370,6 +426,50 @@ def _refine_prepare_fused(
     )
     feats = _extract_jit.__wrapped__(extractor, fe_params, props, layer, "patch")
     return sel_poses, sel_idx, valid, normalize_feats(feats), render_masks, stats
+
+
+@partial(jax.jit, static_argnames=(
+    "settings", "n_neighbors", "pose_chunk", "resolution", "extractor", "layer",
+    "device_mesh", "axis"))
+def _refine_prepare_fused_sharded(
+    fine_poses, prev_pose, neighborhood_deg, v, c, f, fv, k_render, fe_params,
+    settings, n_neighbors, pose_chunk, resolution, extractor, layer,
+    device_mesh, axis,
+):
+    """_refine_prepare_fused with the render + feature work shard_mapped over
+    `axis`: the [n_neighbors] selected poses split across chips, mesh buffers
+    and extractor params replicated; per-chip output blocks reassemble into
+    the global [n_neighbors, ...] arrays the epilogue consumes."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from freepose_tpu.models.dinov2 import _extract_jit
+    from freepose_tpu.ops.rasterizer import render_meshes
+    from freepose_tpu.pipeline.renderer import _generate_proposals_jit
+
+    sel_poses, sel_idx, valid = select_neighborhood(
+        fine_poses, prev_pose, neighborhood_deg, n_neighbors
+    )
+
+    def local(poses_local, v, c, f, fv, k_render, fe_params):
+        rgb, depth = render_meshes(
+            v, c, f, fv, poses_local, k_render, settings, pose_chunk=pose_chunk
+        )
+        props, render_masks, _ = _generate_proposals_jit.__wrapped__(
+            rgb, depth, resolution, resolution
+        )
+        feats = _extract_jit.__wrapped__(extractor, fe_params, props, layer, "patch")
+        return normalize_feats(feats), render_masks, depth_stats(depth, k_render)
+
+    rep = P()
+    sh = P(axis)
+    feats, render_masks, stats = shard_map(
+        local,
+        mesh=device_mesh,
+        in_specs=(sh, rep, rep, rep, rep, rep, rep),
+        out_specs=(sh, sh, (sh, sh, sh)),
+    )(sel_poses, v, c, f, fv, k_render, fe_params)
+    return sel_poses, sel_idx, valid, feats, render_masks, stats
 
 
 @partial(jax.jit, static_argnames=("grid", "mask_scores", "rendering_scale"))

@@ -161,3 +161,57 @@ def test_fused_extractor_path_matches_feature_fn(setup):
     np.testing.assert_allclose(np.asarray(a.tcos), np.asarray(b.tcos), atol=1e-5)
     np.testing.assert_allclose(np.asarray(a.scores), np.asarray(b.scores), atol=1e-5)
     assert int(a.view_indices) == int(b.view_indices)
+
+
+def test_refine_sharded_matches_single_device(setup):
+    """refine_sharded fans the 32 neighbor renders + feature batches over the
+    8-device mesh (4 views/device); outputs must equal the fused single-device
+    refine."""
+    import jax
+    from freepose_tpu.parallel.mesh import make_mesh
+
+    renderer, bank, _ = setup
+    fe = DinoFeatureExtractor(CFG)
+    feature_fn = lambda imgs: fe(imgs, layer=2, feature_type="patch")
+    est = OnlinePoseEstimator(
+        feature_fn, bank, renderer, n_coarse_poses=16, n_fine_poses=200,
+        n_neighbors=32, extractor=fe, feature_layer=2,
+    )
+    mesh = _mesh()
+    rgb, depth = renderer.render_from_poses(mesh, est.fine_poses[7][None], scale=0.25)
+    props, masks, boxes = renderer.generate_proposals(rgb, depth)
+    qf = est.coarse.query_features(props[0])
+    args = (qf, masks[0], mesh, renderer.k, boxes[0].astype(jnp.float32), 0.25,
+            est.fine_poses[7])
+
+    dev_mesh = make_mesh(data=1, model=len(jax.devices()))
+    a = est.refine(*args, neighborhood_deg=25.0)
+    b = est.refine_sharded(*args, device_mesh=dev_mesh, neighborhood_deg=25.0)
+    np.testing.assert_allclose(np.asarray(a.tcos), np.asarray(b.tcos), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.scores), np.asarray(b.scores), atol=1e-5)
+    assert int(a.view_indices) == int(b.view_indices)
+    # masked-score variant too (exercises render_masks reassembly)
+    am = est.refine(*args, neighborhood_deg=25.0, mask_scores=True)
+    bm = est.refine_sharded(
+        *args, device_mesh=dev_mesh, neighborhood_deg=25.0, mask_scores=True
+    )
+    np.testing.assert_allclose(np.asarray(am.scores), np.asarray(bm.scores), atol=1e-5)
+    assert int(am.view_indices) == int(bm.view_indices)
+
+
+def test_refine_sharded_rejects_uneven_split(setup):
+    renderer, bank, _ = setup
+    fe = DinoFeatureExtractor(CFG)
+    feature_fn = lambda imgs: fe(imgs, layer=2, feature_type="patch")
+    est = OnlinePoseEstimator(
+        feature_fn, bank, renderer, n_coarse_poses=16, n_fine_poses=200,
+        n_neighbors=12, extractor=fe, feature_layer=2,
+    )
+    from freepose_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="divide evenly"):
+        est.refine_sharded(
+            jnp.zeros((36, 32)), jnp.zeros((RES, RES), bool), _mesh(),
+            renderer.k, jnp.zeros(4), 0.25, est.fine_poses[0],
+            device_mesh=make_mesh(data=1, model=8),
+        )
