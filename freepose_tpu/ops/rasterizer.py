@@ -64,9 +64,7 @@ def rasterize(
     """Render P poses -> (rgb [P, R, R, 3] in [0,1], depth [P, R, R])."""
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
     per_pose_k = k.ndim == 3
-    if not per_pose_k and (
-        settings.backend == "pallas" or (settings.backend == "auto" and on_tpu)
-    ):
+    if settings.backend == "pallas" or (settings.backend == "auto" and on_tpu):
         from freepose_tpu.ops.rasterizer_pallas import rasterize_pallas
 
         return rasterize_pallas(

@@ -195,10 +195,13 @@ def rasterize_pallas(
     m = min(settings.max_faces_per_tile, faces.shape[0])
     m = -(-m // 128) * 128
 
-    def prologue(pose):
-        return _bin_and_pack(vertices, colors, faces, face_valid, pose, k, settings, m)
+    def prologue(pose_and_k):
+        pose, k_i = pose_and_k
+        return _bin_and_pack(vertices, colors, faces, face_valid, pose, k_i, settings, m)
 
-    attrs, origins = jax.lax.map(prologue, poses)  # [P, T, A, M], [P, T, 2]
+    # k: [3, 3] shared or [P, 3, 3] per-pose (e.g. crop-zoomed intrinsics).
+    ks = k if k.ndim == 3 else jnp.broadcast_to(k, (poses.shape[0], 3, 3))
+    attrs, origins = jax.lax.map(prologue, (poses, ks))  # [P, T, A, M], [P, T, 2]
     p = poses.shape[0]
     attrs = attrs.reshape(p * n_tiles, N_ATTRS, m)
     origins = origins.reshape(p * n_tiles, 1, 2)

@@ -163,6 +163,16 @@ def test_pallas_backend_matches_xla():
     _, d_p = rasterize_pallas(v, c, f, valid, poses, k, s2, interpret=True)
     np.testing.assert_allclose(np.asarray(d_p), np.asarray(d_x), atol=1e-5)
 
+    # Per-pose intrinsics [P, 3, 3] (crop-zoomed K, tracking-refiner batch
+    # path): the kernel must match the XLA path and honour each pose's K.
+    ks = jnp.stack([k.at[0, 0].mul(s).at[1, 1].mul(s) for s in (0.8, 1.0, 1.25)])
+    rgb_xk, depth_xk = rasterize(v, c, f, valid, poses, ks, settings)
+    rgb_pk, depth_pk = rasterize_pallas(v, c, f, valid, poses, ks, settings, interpret=True)
+    np.testing.assert_allclose(np.asarray(depth_pk), np.asarray(depth_xk), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rgb_pk), np.asarray(rgb_xk), atol=1e-5)
+    areas = [(np.asarray(depth_pk[i]) > 0).sum() for i in range(3)]
+    assert areas[0] < areas[1] < areas[2]  # silhouette grows with focal
+
 
 def test_backend_switch_via_settings():
     """RasterSettings(backend='pallas') routes rasterize() through the kernel
