@@ -227,6 +227,19 @@ class TrackingRefiner:
         )
         return np.asarray(pose)
 
+    def compute_pnp_batch(
+        self, image_pts: np.ndarray, object_pts: np.ndarray, valid: np.ndarray, k: jax.Array
+    ) -> np.ndarray:
+        """EPnP for every frame of a tracked interval in ONE dispatch:
+        image_pts [T, N, 2] (the CoTracker output), object_pts [N, 3] shared,
+        valid [T, N] per-frame visibility -> [T, 4, 4]. Replaces the
+        reference's per-frame cv2.solvePnP loop (smooth_poses_video.py:162-192)
+        — per-frame dispatches cost a host round trip each."""
+        return np.asarray(_epnp_batch(
+            jnp.asarray(object_pts, jnp.float32), jnp.asarray(image_pts, jnp.float32),
+            k, jnp.asarray(valid),
+        ))
+
     def compute_pnp_or_need_resample(
         self, mesh: TriMesh, photo: jax.Array, tracks: np.ndarray, visibility: np.ndarray,
         object_pts: np.ndarray, valid: np.ndarray, k: jax.Array,
@@ -261,3 +274,9 @@ class TrackingRefiner:
             chosen.append(idx)
             arr[max(idx - span, 0) : idx + span + 1] = -1
         return np.sort(np.asarray(chosen))
+
+
+@jax.jit
+def _epnp_batch(object_pts: jax.Array, image_pts: jax.Array, k: jax.Array, valid: jax.Array):
+    """vmap EPnP over the frame axis: [N, 3], [T, N, 2], [3, 3], [T, N]."""
+    return jax.vmap(lambda ip, va: epnp(object_pts, ip, k, va))(image_pts, valid)

@@ -36,11 +36,10 @@ def predict_interval(refiner, mesh, frames, k, start_pose, start_idx, indices):
     sub = frames[[min(max(i, 0), len(frames) - 1) for i in indices]].astype(np.float32) / 255.0
     local_start = indices.index(start_idx)
     tracks, vis = refiner.track_frames(sub, query[valid], query_frame=local_start)
-    out = {}
-    for li, frame_idx in enumerate(indices):
-        pose = refiner.compute_pnp(tracks[li], surface[valid], vis[li], k)
-        out[frame_idx] = pose
-    return out
+    # One vmapped EPnP dispatch for the whole interval (the reference solves
+    # cv2.solvePnP per frame, smooth_poses_video.py:162-192).
+    poses = refiner.compute_pnp_batch(tracks, surface[valid], vis, k)
+    return {frame_idx: poses[li] for li, frame_idx in enumerate(indices)}
 
 
 def main() -> None:

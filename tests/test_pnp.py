@@ -71,3 +71,30 @@ def test_reprojection_error():
     bad[:3, 3] += 0.05
     err_bad = float(reprojection_error(jnp.asarray(bad, jnp.float32), jnp.asarray(world), jnp.asarray(uv), jnp.asarray(K, jnp.float32), jnp.ones(len(world), bool)))
     assert err_bad > err_gt + 1.0
+
+
+def test_epnp_batch_matches_serial():
+    """compute_pnp_batch (one vmapped dispatch per interval) must equal
+    per-frame epnp."""
+    from freepose_tpu.pipeline.tracking_refiner import _epnp_batch
+
+    world, _, _ = _scene(seed=3)
+    uvs, masks = [], []
+    for s in range(4):
+        _, uv, _ = _scene(seed=3)  # same world; re-noise per frame below
+        rng = np.random.default_rng(s)
+        uvs.append(uv + rng.normal(scale=0.5, size=uv.shape).astype(np.float32))
+        m = np.ones(len(world), bool)
+        m[rng.integers(0, len(world), size=5)] = False
+        masks.append(m)
+    uv_t = np.stack(uvs)
+    mask_t = np.stack(masks)
+    batch = np.asarray(_epnp_batch(
+        jnp.asarray(world), jnp.asarray(uv_t), jnp.asarray(K, jnp.float32), jnp.asarray(mask_t)
+    ))
+    assert batch.shape == (4, 4, 4)
+    for i in range(4):
+        solo = np.asarray(epnp(
+            jnp.asarray(world), jnp.asarray(uv_t[i]), jnp.asarray(K, jnp.float32), jnp.asarray(mask_t[i])
+        ))
+        np.testing.assert_allclose(batch[i], solo, atol=1e-4)
