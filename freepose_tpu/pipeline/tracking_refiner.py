@@ -104,8 +104,20 @@ class TrackingRefiner:
         return normalize_feats(self.feature_fn(images))
 
     # ---------------------------------------------------------------- #
+    @staticmethod
+    def _to_float(frames: jax.Array) -> jax.Array:
+        """uint8 frames normalize ON DEVICE: uploading uint8 moves 4× fewer
+        bytes host->device than pre-divided float32 (the video-length frame
+        stack dominates this stage's transfer volume)."""
+        frames = jnp.asarray(frames)
+        if frames.dtype == jnp.uint8:
+            frames = frames.astype(jnp.float32) / 255.0
+        return frames
+
     def pose_confidence(self, mesh: TriMesh, photo: jax.Array, k: jax.Array, pose: jax.Array) -> np.ndarray:
-        """[3, H, W] photo -> [37, 37] confidence (reference :70-90)."""
+        """[3, H, W] photo (float in [0,1] or uint8) -> [37, 37] confidence
+        (reference :70-90)."""
+        photo = self._to_float(photo)
         pts = jnp.asarray(mesh.sample_surface(100, seed=42))
         crop, _, new_k = self._crop_and_k(photo, pts, k, pose)
         render_rgb, render_depth = self._render(mesh, new_k, pose)
@@ -121,7 +133,9 @@ class TrackingRefiner:
         """Batched pose_confidence: [B, 3, H, W] photos + [B, 4, 4] poses ->
         [B, 37, 37]. One crop/render/feature batch instead of B serial
         per-frame chains (the reference's dominant smooth_poses cost,
-        tracking_refiner.py:92-100 — render + 2 ViT-B per frame)."""
+        tracking_refiner.py:92-100 — render + 2 ViT-B per frame). Frames may
+        be uint8 (normalized on device after the cheap upload)."""
+        frames = self._to_float(frames)
         pts = jnp.asarray(mesh.sample_surface(100, seed=42))
         bboxes = crop_bbox_around_projection(poses, pts, k, RES, RES, lamb=1.4)
         crops = jax.vmap(

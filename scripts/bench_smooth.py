@@ -89,7 +89,10 @@ def run_smooth_bench(args) -> dict:
     # Synthetic video: random frames (content irrelevant to timing) + a
     # slowly-rotating pose track in front of the camera.
     t = args.frames + args.warmup
-    frames = rng.random((t, 3, h, w)).astype(np.float32)
+    if args.float_frames:
+        frames = rng.random((t, 3, h, w)).astype(np.float32)
+    else:  # production path: uint8 upload, on-device normalize
+        frames = rng.integers(0, 256, size=(t, 3, h, w), dtype=np.uint8)
     k = jnp.asarray([[w * 0.9, 0, w / 2], [0, w * 0.9, h / 2], [0, 0, 1]], jnp.float32)
     grid_poses = np.asarray(template_poses(200, z=0.8))
     poses = grid_poses[rng.integers(0, 200, size=t)]
@@ -115,6 +118,8 @@ def _parser() -> argparse.ArgumentParser:
     ap.add_argument("--frames", type=int, default=24)
     ap.add_argument("--warmup", type=int, default=0)
     ap.add_argument("--chunks", type=int, nargs="+", default=[1, 8])
+    ap.add_argument("--float-frames", action="store_true",
+                    help="upload pre-divided float32 frames (4x the bytes)")
     return ap
 
 
