@@ -70,6 +70,13 @@ class TrackingRefiner:
     settings: RasterSettings = dataclasses.field(
         default_factory=lambda: RasterSettings(resolution=RES, tile=37, max_faces_per_tile=256)
     )
+    # Optional DinoFeatureExtractor: when set, pose_confidence_batch fuses
+    # crop + render + featurize + cosine into ONE program (params enter as
+    # jit arguments) instead of ~6 eager dispatches per chunk — each dispatch
+    # costs a host round trip (same pattern as OnlinePoseEstimator's fused
+    # refine, and the same reason).
+    extractor: object = None
+    feature_layer: int | None = None
 
     # ---------------------------------------------------------------- #
     def _crop_and_k(self, image: jax.Array, mesh_pts: jax.Array, k: jax.Array, pose: jax.Array):
@@ -135,14 +142,20 @@ class TrackingRefiner:
         per-frame chains (the reference's dominant smooth_poses cost,
         tracking_refiner.py:92-100 — render + 2 ViT-B per frame). Frames may
         be uint8 (normalized on device after the cheap upload)."""
-        frames = self._to_float(frames)
         pts = jnp.asarray(mesh.sample_surface(100, seed=42))
+        v, c, f, valid = self._padded(mesh)
+        if self.extractor is not None:
+            return np.asarray(_confidence_batch_fused(
+                v, c, f, valid, pts, jnp.asarray(frames), k, poses,
+                self.extractor.params, self.settings, self.extractor,
+                self.feature_layer,
+            ))
+        frames = self._to_float(frames)
         bboxes = crop_bbox_around_projection(poses, pts, k, RES, RES, lamb=1.4)
         crops = jax.vmap(
             lambda img, bb: roi_align(img, bb[None], RES, RES, sampling_ratio=2)[0]
         )(frames, bboxes)
         new_ks = update_k_with_crop(k, bboxes, RES, RES)  # [B, 3, 3]
-        v, c, f, valid = self._padded(mesh)
         render_rgb, render_depth = rasterize(v, c, f, valid, poses, new_ks, self.settings)
         mask37 = (
             resize_area((render_depth > 0).astype(jnp.float32), (GRID, GRID)) > 0.5
@@ -294,3 +307,28 @@ class TrackingRefiner:
 def _epnp_batch(object_pts: jax.Array, image_pts: jax.Array, k: jax.Array, valid: jax.Array):
     """vmap EPnP over the frame axis: [N, 3], [T, N, 2], [3, 3], [T, N]."""
     return jax.vmap(lambda ip, va: epnp(object_pts, ip, k, va))(image_pts, valid)
+
+
+@partial(jax.jit, static_argnames=("settings", "extractor", "layer"))
+def _confidence_batch_fused(
+    v, c, f, fv, pts, frames, k, poses, fe_params, settings, extractor, layer
+):
+    """pose_confidence_batch as ONE program: crop (roi_align) + per-pose-K
+    render + 37×37 mask + DINOv2 features + masked cosine. Extractor params
+    enter as arguments (never closed over — see models/dinov2._extract_jit)."""
+    from freepose_tpu.models.dinov2 import _extract_jit
+
+    if frames.dtype == jnp.uint8:
+        frames = frames.astype(jnp.float32) / 255.0
+    bboxes = crop_bbox_around_projection(poses, pts, k, RES, RES, lamb=1.4)
+    crops = jax.vmap(
+        lambda img, bb: roi_align(img, bb[None], RES, RES, sampling_ratio=2)[0]
+    )(frames, bboxes)
+    new_ks = update_k_with_crop(k, bboxes, RES, RES)
+    rgb, depth = rasterize(v, c, f, fv, poses, new_ks, settings)
+    mask37 = resize_area((depth > 0).astype(jnp.float32), (GRID, GRID)) > 0.5
+    b = frames.shape[0]
+    imgs = jnp.concatenate([crops, rgb.transpose(0, 3, 1, 2)])
+    feats = normalize_feats(_extract_jit.__wrapped__(extractor, fe_params, imgs, layer, "patch"))
+    cos = jnp.sum(feats[:b] * feats[b:], axis=-1).reshape(b, GRID, GRID)
+    return cos * mask37

@@ -84,6 +84,7 @@ def run_smooth_bench(args) -> dict:
         tracker=PointTracker(COTRACKER_TEST, mode="correlation"),
         max_vertices=max_v, max_faces=max_f, n_surface_samples=n_samples,
         settings=settings,
+        extractor=None if args.no_fused else fe, feature_layer=layer,
     )
 
     # Synthetic video: random frames (content irrelevant to timing) + a
@@ -120,6 +121,8 @@ def _parser() -> argparse.ArgumentParser:
     ap.add_argument("--chunks", type=int, nargs="+", default=[1, 8])
     ap.add_argument("--float-frames", action="store_true",
                     help="upload pre-divided float32 frames (4x the bytes)")
+    ap.add_argument("--no-fused", action="store_true",
+                    help="eager per-op confidence path instead of the fused program")
     return ap
 
 

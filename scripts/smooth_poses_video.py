@@ -64,7 +64,10 @@ def main() -> None:
 
     extractor = load_dino_extractor(args.weights, model="vitb")
     feature_fn = lambda imgs: extractor(imgs, layer=None, feature_type="patch")
-    refiner = TrackingRefiner(feature_fn=feature_fn, tracker=PointTracker(mode="correlation"))
+    refiner = TrackingRefiner(
+        feature_fn=feature_fn, tracker=PointTracker(mode="correlation"),
+        extractor=extractor, feature_layer=None,  # fused one-dispatch confidence
+    )
 
     poses = np.stack([np.vstack([np.hstack([r.R, r.t[:, None]]), [0, 0, 0, 1]]) for r in coarse])
     t0 = time.perf_counter()

@@ -130,6 +130,27 @@ def test_get_query_frames_suppression():
     assert 6 in frames and 1 in frames
 
 
+def test_pose_confidence_batch_fused_matches_plain(refiner):
+    """TrackingRefiner(extractor=...) fuses the whole confidence batch into
+    one program; must equal the eager per-op path (and handle uint8)."""
+    import dataclasses as dc
+
+    fe = DinoFeatureExtractor(CFG)
+    fused = dc.replace(refiner, feature_fn=lambda im: fe(im, layer=2, feature_type="patch"),
+                       extractor=fe, feature_layer=2)
+    plain = dc.replace(fused, extractor=None)
+    mesh = _mesh()
+    poses = _gt_poses(2)
+    frames = _render_video(mesh, poses)
+    photos = jnp.asarray(frames.transpose(0, 3, 1, 2))
+    a = plain.pose_confidence_batch(mesh, photos, K, jnp.asarray(poses))
+    b = fused.pose_confidence_batch(mesh, photos, K, jnp.asarray(poses))
+    np.testing.assert_allclose(a, b, atol=2e-5)
+    u8 = np.clip(np.asarray(photos) * 255, 0, 255).astype(np.uint8)
+    c = fused.pose_confidence_batch(mesh, jnp.asarray(u8), K, jnp.asarray(poses))
+    assert np.isfinite(c).all() and c.shape == a.shape
+
+
 def test_pose_confidence_batch_matches_serial(refiner):
     """Batched confidence (one crop/render/feature batch) must equal the
     per-frame path."""
