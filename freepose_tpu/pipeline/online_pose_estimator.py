@@ -90,6 +90,7 @@ class OnlinePoseEstimator:
         extractor=None,
         feature_layer: int = 22,
         fine_cache_capacity: int = 0,
+        shard_mesh=None,
     ):
         """When `extractor` (a DinoFeatureExtractor) is given, the refine
         step fuses feature extraction INTO the prepare program (2 dispatches
@@ -99,7 +100,12 @@ class OnlinePoseEstimator:
         per-view render features/masks/stats by fine-grid index across frames
         of a track (exact reuse — see pipeline/fine_cache.py): warm frames
         featurize only the query crop plus newly-entered views, in ONE
-        dispatch."""
+        dispatch.
+
+        `shard_mesh` (a jax.sharding.Mesh with a "model" axis; requires
+        `extractor`, exclusive with the fine cache) fans each frame's
+        neighbor renders + feature batches over the mesh — multi-chip
+        latency scaling (see refine_sharded)."""
         self.coarse = CoarsePoseEstimator(feature_fn, bank, n_poses=n_coarse_poses)
         self.feature_fn = feature_fn
         self.renderer = renderer or bank.renderer
@@ -117,6 +123,14 @@ class OnlinePoseEstimator:
                 f"least one neighbourhood (n_neighbors={n_neighbors})"
             )
         self.fine_cache_capacity = fine_cache_capacity
+        if shard_mesh is not None and extractor is None:
+            raise ValueError("shard_mesh requires `extractor`")
+        if shard_mesh is not None and fine_cache_capacity:
+            raise ValueError(
+                "shard_mesh and fine_cache_capacity are exclusive (the cache "
+                "keeps per-view state on one chip)"
+            )
+        self.shard_mesh = shard_mesh
         # Extra views pre-cached per miss frame by rounding the miss batch up
         # a bucket, filled with predictively-ordered prefetch. Measured at
         # production shapes (2°/frame, v5e): quota 4 and quota 0 have equal
@@ -168,6 +182,12 @@ class OnlinePoseEstimator:
             )
         if query_feat is None:
             query_feat = self.coarse.query_features(proposal)
+        if self.shard_mesh is not None:
+            return self.refine_sharded(
+                query_feat, proposal_mask, mesh, k, bbox, est_scale, prev_pose,
+                device_mesh=self.shard_mesh, neighborhood_deg=neighborhood_deg,
+                mask_scores=mask_scores,
+            )
         return self.refine(
             query_feat, proposal_mask, mesh, k, bbox, est_scale, prev_pose,
             neighborhood_deg, mask_scores,

@@ -56,6 +56,12 @@ def main() -> None:
         "masks/stats are exact functions of the fine-grid index, so warm "
         "frames featurize only the query crop + newly-entered views",
     )
+    ap.add_argument(
+        "--shard-refine", action="store_true",
+        help="fan each frame's neighbor renders + feature batches over all "
+        "devices (multi-chip latency scaling; disables the fine-view cache, "
+        "whose per-view state lives on one chip)",
+    )
     args = ap.parse_args()
 
     frames = load_frames(args.video_dir)
@@ -67,11 +73,22 @@ def main() -> None:
     feature_fn = lambda imgs: extractor(imgs, layer=args.layer, feature_type="patch")
     renderer = TemplateRenderer(n_poses=args.n_coarse)
     bank = TemplateBank(feature_fn, renderer, cache_size=4)
+    shard_mesh = None
+    if args.shard_refine:
+        import jax
+
+        from freepose_tpu.parallel.mesh import make_mesh
+
+        shard_mesh = make_mesh(data=1, model=len(jax.devices()))
     estimator = OnlinePoseEstimator(
         feature_fn, bank, renderer, n_coarse_poses=args.n_coarse,
         n_fine_poses=args.n_fine, n_neighbors=args.n_neighbors,
         extractor=extractor, feature_layer=args.layer,  # fused refine-prepare
-        fine_cache_capacity=max(args.fine_cache, args.n_neighbors) if args.fine_cache else 0,
+        fine_cache_capacity=(
+            0 if args.shard_refine
+            else max(args.fine_cache, args.n_neighbors) if args.fine_cache else 0
+        ),
+        shard_mesh=shard_mesh,
     )
 
     by_frame: dict[int, list] = {}

@@ -155,3 +155,27 @@ def test_video_pipeline_end_to_end(video_ws):
 
     rot = pd.read_csv(ws / "tables" / "results_mean.csv", index_col=0)
     assert np.isfinite(rot.values).all()
+
+
+def test_video_inference_shard_refine_matches(video_ws):
+    """--shard-refine (neighbor fan-out over the 8-device mesh) produces the
+    same track as the default single-device path (the fine cache is disabled
+    in both runs so the compute paths are comparable)."""
+    ws = video_ws
+    common = [
+        "scripts.dino_inference_video", "--video-dir", str(ws / "frames"),
+        "--proposals", str(ws / "props.json"), "--wds-dir", str(ws / "shards"),
+        "--filelist", str(ws / "filelist.txt"), "--mesh-dir", str(ws / "meshes"),
+        "--layer", "2", "--n-coarse", "8", "--n-fine", "64",
+        "--n-neighbors", "16", "--neighborhood", "40", "--fine-cache", "0",
+    ]
+    _run([*common, "--out", str(ws / "vid-single.csv")])
+    _run([*common, "--out", str(ws / "vid-sharded.csv"), "--shard-refine"])
+    from freepose_tpu.io.bop_csv import read_results_csv
+
+    single = read_results_csv(ws / "vid-single.csv", t_scale=1.0)
+    sharded = read_results_csv(ws / "vid-sharded.csv", t_scale=1.0)
+    assert len(single) == len(sharded) == 5
+    for a, b in zip(single, sharded):
+        np.testing.assert_allclose(a.R, b.R, atol=1e-4)
+        np.testing.assert_allclose(a.t, b.t, atol=1e-4)
