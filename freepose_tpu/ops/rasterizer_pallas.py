@@ -206,10 +206,18 @@ def rasterize_pallas(
     attrs = attrs.reshape(p * n_tiles, N_ATTRS, m)
     origins = origins.reshape(p * n_tiles, 1, 2)
 
-    # Tiles per grid step: the largest divisor of n_tiles that keeps the
-    # attribute block under ~1 MB — one-tile steps are per-step-overhead
-    # bound (measured 45 vs 76 renders/s on v5e).
-    tps_budget = min(9, max(1, (1 << 20) // (N_ATTRS * m * 4)))
+    # Tiles per grid step: the largest divisor of n_tiles that keeps (a) the
+    # attribute block under ~1 MB and (b) the kernel's scoped VMEM under the
+    # 16 MB stack limit — each unrolled tile holds ~2x tp*m*4 B of live
+    # [tile_px, faces] temporaries (coefficient measured from compiler OOM
+    # reports: 20.11M at 7 tiles x 1369 px x 256 faces). One-tile steps are
+    # per-step-overhead bound (measured 45 vs 76 renders/s on v5e).
+    tile_scope = 2 * tp * m * 4
+    tps_budget = min(
+        9,
+        max(1, (1 << 20) // (N_ATTRS * m * 4)),
+        max(1, (16 << 20) // tile_scope),
+    )
     tiles_per_step = 1
     for d in range(1, n_tiles + 1):
         if n_tiles % d == 0 and d <= tps_budget:
