@@ -173,6 +173,16 @@ def test_pallas_backend_matches_xla():
     areas = [(np.asarray(depth_pk[i]) > 0).sum() for i in range(3)]
     assert areas[0] < areas[1] < areas[2]  # silhouette grows with focal
 
+    # tile=37 (the 518² tracking-refiner grid, res here scaled down so the
+    # interpreter stays fast): this config OOM'd scoped VMEM before the
+    # tiles-per-step budget accounted for kernel temporaries.
+    s37 = RasterSettings(resolution=74, tile=37, max_faces_per_tile=128)
+    k37 = k.at[0, 2].set(37.0).at[1, 2].set(37.0)
+    rgb_x37, depth_x37 = rasterize(v, c, f, valid, poses, k37, s37)
+    rgb_p37, depth_p37 = rasterize_pallas(v, c, f, valid, poses, k37, s37, interpret=True)
+    np.testing.assert_allclose(np.asarray(depth_p37), np.asarray(depth_x37), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rgb_p37), np.asarray(rgb_x37), atol=1e-5)
+
 
 def test_backend_switch_via_settings():
     """RasterSettings(backend='pallas') routes rasterize() through the kernel
