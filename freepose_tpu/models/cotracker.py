@@ -218,6 +218,32 @@ class CoTracker(nn.Module):
         return tracks, visibility
 
 
+def _axis_hat_weights(origin: jax.Array, n_taps: int, n_src: int) -> jax.Array:
+    """Per-point bilinear hat weights for a regular tap grid: origin [N] ->
+    [N, n_taps, n_src] with w[n, k, i] = max(0, 1 - |i - (origin_n + k)|).
+    Out-of-range taps vanish naturally (every in-range source row has its hat
+    weight; rows outside [0, n_src) simply don't exist) — identical to
+    bilinear_sample's per-tap zero-validity."""
+    src = jnp.arange(n_src, dtype=jnp.float32)
+    taps = origin[:, None] + jnp.arange(n_taps, dtype=jnp.float32)[None]  # [N, T]
+    return jnp.maximum(0.0, 1.0 - jnp.abs(src[None, None, :] - taps[..., None]))
+
+
+def _extract_tap_grids(img: jax.Array, origins: jax.Array, n_taps: int) -> jax.Array:
+    """img [H, W, C], origins [N, 2] (x, y) fractional top-left corners ->
+    [N, n_taps, n_taps, C] bilinear tap grids at unit spacing.
+
+    TPU-native: a regular tap grid is an outer product over y and x, so the
+    resample is two dense weight matmuls per point (MXU) instead of
+    N·n_taps² arbitrary-index gathers (scalar loads on TPU)."""
+    h, w, _ = img.shape
+    wy = _axis_hat_weights(origins[:, 1], n_taps, h)  # [N, T, H]
+    wx = _axis_hat_weights(origins[:, 0], n_taps, w)  # [N, T, W]
+    return jnp.einsum(
+        "nki,ijc,nlj->nklc", wy, img, wx, preferred_element_type=jnp.float32
+    )
+
+
 @partial(jax.jit, static_argnames=("patch_radius", "search"))
 def patch_track_step(
     img_prev: jax.Array,  # [H, W, 3]
@@ -229,24 +255,29 @@ def patch_track_step(
     """Weight-free frame-to-frame tracking by ZNCC template matching: match
     the (2p+1)² image patch around each point against a (2s+1)² window of
     candidate positions in the next frame, with quadratic subpixel refinement.
+
+    Patches come from separable weight matmuls (_extract_tap_grids); the d²
+    candidate patches are static windows of one per-point supergrid.
     """
     p = patch_radius
     d = 2 * search + 1
-    pr = jnp.arange(-p, p + 1, dtype=jnp.float32)
-    py, px = jnp.meshgrid(pr, pr, indexing="ij")
-    patch_offs = jnp.stack([px.reshape(-1), py.reshape(-1)], axis=-1)  # [p², 2]
+    np_ = 2 * p + 1
     sr = jnp.arange(-search, search + 1, dtype=jnp.float32)
     sy, sx = jnp.meshgrid(sr, sr, indexing="ij")
     search_offs = jnp.stack([sx.reshape(-1), sy.reshape(-1)], axis=-1)  # [d², 2]
 
-    ref = bilinear_sample(img_prev, coords[:, None, :] + patch_offs[None])  # [N, p², 3]
+    ref = _extract_tap_grids(img_prev, coords - p, np_)  # [N, P, P, 3]
     ref = ref.reshape(ref.shape[0], -1)
     ref = ref - ref.mean(axis=-1, keepdims=True)
     ref = ref / jnp.linalg.norm(ref, axis=-1, keepdims=True).clip(1e-6)
 
-    grid = coords[:, None, None, :] + search_offs[None, :, None, :] + patch_offs[None, None, :, :]
-    cand = jax.vmap(lambda g: bilinear_sample(img_next, g))(grid)  # [N, d², p², 3]
-    cand = cand.reshape(cand.shape[0], cand.shape[1], -1)
+    # Supergrid covering every candidate patch, then static d²-window views.
+    wsz = 2 * (search + p) + 1
+    sg = _extract_tap_grids(img_next, coords - (search + p), wsz)  # [N, S, S, 3]
+    iy = (jnp.arange(d)[:, None] + jnp.arange(np_)[None]).reshape(-1)  # static
+    cand = sg[:, iy, :, :].reshape(sg.shape[0], d, np_, wsz, 3)
+    cand = cand[:, :, :, iy, :].reshape(sg.shape[0], d, np_, d, np_, 3)
+    cand = cand.transpose(0, 1, 3, 2, 4, 5).reshape(sg.shape[0], d * d, -1)  # [N, d², P²·3]
     cand = cand - cand.mean(axis=-1, keepdims=True)
     cand = cand / jnp.linalg.norm(cand, axis=-1, keepdims=True).clip(1e-6)
     corr = jnp.einsum("ndp,np->nd", cand, ref)  # [N, d²]

@@ -109,49 +109,36 @@ def roi_align(
     out_w: int,
     sampling_ratio: int = 2,
 ) -> jax.Array:
-    """torchvision-style ROI align (aligned=False) -> [N, C, out_h, out_w]."""
-    c, h, w = image.shape
+    """torchvision-style ROI align (aligned=False) -> [N, C, out_h, out_w].
 
-    def sample_bilinear(y, x):
-        # Out-of-range samples contribute 0 (torchvision semantics).
-        valid = (y > -1.0) & (y < h) & (x > -1.0) & (x < w)
-        y = jnp.clip(y, 0.0, h - 1)
-        x = jnp.clip(x, 0.0, w - 1)
-        y0 = jnp.floor(y)
-        x0 = jnp.floor(x)
-        y1 = jnp.clip(y0 + 1, 0, h - 1)
-        x1 = jnp.clip(x0 + 1, 0, w - 1)
-        wy = y - y0
-        wx = x - x0
-        y0i, y1i, x0i, x1i = (a.astype(jnp.int32) for a in (y0, y1, x0, x1))
-        v = (
-            image[:, y0i, x0i] * ((1 - wy) * (1 - wx))
-            + image[:, y0i, x1i] * ((1 - wy) * wx)
-            + image[:, y1i, x0i] * (wy * (1 - wx))
-            + image[:, y1i, x1i] * (wy * wx)
-        )
-        return v * valid
+    TPU-native formulation: the s×s bilinear tap grid of an axis-aligned box
+    is an outer product over y and x, so the resample factorizes EXACTLY into
+    two dense weight matmuls per box (MXU) — per-axis weight w[o, i] =
+    mean over taps of valid·tri(i − clip(coord)), where tri is the bilinear
+    hat and clipping reproduces the edge-tap semantics. The direct form
+    (4·s²·out² arbitrary-index taps, reference torchvision roi_align at
+    refiner_utils.py:127-132) lowers to scalar gathers on TPU.
+    """
+    c, h, w = image.shape
+    s = sampling_ratio
+
+    def axis_weights(lo, size, n_out, n_src):
+        i = jnp.arange(n_out, dtype=jnp.float32)
+        t = jnp.arange(s, dtype=jnp.float32)
+        coords = lo + (i[:, None] + (t[None, :] + 0.5) / s) * (size / n_out)  # [o, s]
+        valid = (coords > -1.0) & (coords < n_src)  # torchvision zero-padding
+        cc = jnp.clip(coords, 0.0, n_src - 1)
+        src = jnp.arange(n_src, dtype=jnp.float32)
+        tri = jnp.maximum(0.0, 1.0 - jnp.abs(src[None, None, :] - cc[..., None]))
+        return jnp.mean(tri * valid[..., None], axis=1)  # [o, n_src]
 
     def one_box(box):
         x1, y1, x2, y2 = box
-        bw = jnp.maximum(x2 - x1, 1e-6)
-        bh = jnp.maximum(y2 - y1, 1e-6)
-        bin_h = bh / out_h
-        bin_w = bw / out_w
-        s = sampling_ratio
-        iy = jnp.arange(out_h, dtype=jnp.float32)
-        ix = jnp.arange(out_w, dtype=jnp.float32)
-        sy = jnp.arange(s, dtype=jnp.float32)
-        # Sample grid: for each output bin, s×s sample points.
-        ys = y1 + (iy[:, None] + (sy[None, :] + 0.5) / s) * bin_h  # [oh, s]
-        xs = x1 + (ix[:, None] + (sy[None, :] + 0.5) / s) * bin_w  # [ow, s]
-        yy = ys.reshape(-1)  # [oh*s]
-        xx = xs.reshape(-1)  # [ow*s]
-        grid_y = jnp.repeat(yy, xx.shape[0]).reshape(yy.shape[0], xx.shape[0])
-        grid_x = jnp.tile(xx, (yy.shape[0], 1))
-        vals = sample_bilinear(grid_y.reshape(-1), grid_x.reshape(-1))  # [C, oh*s*ow*s]
-        vals = vals.reshape(c, out_h, s, out_w, s)
-        return vals.mean(axis=(2, 4))
+        wy = axis_weights(y1, jnp.maximum(y2 - y1, 1e-6), out_h, h)  # [oh, H]
+        wx = axis_weights(x1, jnp.maximum(x2 - x1, 1e-6), out_w, w)  # [ow, W]
+        return jnp.einsum(
+            "oi,cij,pj->cop", wy, image, wx, preferred_element_type=jnp.float32
+        )
 
     return jax.vmap(one_box)(boxes.astype(jnp.float32))
 

@@ -132,6 +132,21 @@ def test_roi_align_matches_oracle():
     np.testing.assert_allclose(ours, ref, atol=1e-4)
 
 
+def test_roi_align_sampling_ratios_and_tiny_box():
+    """The separable two-matmul formulation must match the per-tap spec at
+    every sampling ratio and for sub-pixel boxes."""
+    rng = np.random.default_rng(8)
+    img = rng.random((2, 31, 23)).astype(np.float32)
+    boxes = np.array(
+        [[3.2, 4.1, 19.7, 27.3], [10.0, 10.0, 10.4, 10.6], [15.0, -5.0, 40.0, 20.0]],
+        np.float32,
+    )
+    for s in (1, 2, 3):
+        ours = np.asarray(roi_align(jnp.asarray(img), jnp.asarray(boxes), 7, 9, sampling_ratio=s))
+        ref = _roi_align_oracle(img, boxes, 7, 9, s=s)
+        np.testing.assert_allclose(ours, ref, atol=1e-4, err_msg=f"s={s}")
+
+
 def test_topk_search_sharded_uneven_bank():
     """Realistic bank sizes (46,037 rows) don't divide by the mesh — padding
     must keep results exact."""
