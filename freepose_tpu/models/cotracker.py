@@ -303,6 +303,21 @@ def patch_track_step(
     return new, score
 
 
+@partial(jax.jit, static_argnames=("patch_radius", "search"))
+def _track_chain(frames: jax.Array, q: jax.Array, patch_radius: int = 4, search: int = 8):
+    """Chained ZNCC tracking over [T, H, W, 3] frames starting at frames[0]
+    with query coords q [N, 2] -> (tracks [T-1, N, 2], scores [T-1, N]) for
+    frames[1:]."""
+
+    def step(carry, img_next):
+        coords, img_prev = carry
+        new, sc = patch_track_step(img_prev, img_next, coords, patch_radius, search)
+        return (new, img_next), (new, sc)
+
+    (_, _), (tr, sc) = jax.lax.scan(step, (q, frames[0]), frames[1:])
+    return tr, sc
+
+
 class PointTracker:
     """High-level tracking front end (reference _track_frames API): forward +
     backward tracking of query points from a given frame.
@@ -333,20 +348,21 @@ class PointTracker:
         if self.mode == "learned":
             tracks, vis = self.model.apply({"params": self.params}, v, q, query_frame)
             return np.asarray(tracks), np.asarray(vis) > 0.5
-        # ZNCC patch chaining, forward then backward from the query frame.
+        # ZNCC patch chaining, forward then backward from the query frame —
+        # each direction is ONE lax.scan program (the frame-to-frame
+        # dependency lives in the scan carry), not T-1 dispatches with a
+        # host round trip each.
         t = v.shape[0]
         tracks = np.zeros((t, q.shape[0], 2), np.float32)
         scores = np.zeros((t, q.shape[0]), np.float32)
         tracks[query_frame] = np.asarray(q)
         scores[query_frame] = 1.0
-        cur = q
-        for f in range(query_frame + 1, t):
-            cur, sc = patch_track_step(v[f - 1], v[f], cur)
-            tracks[f] = np.asarray(cur)
-            scores[f] = np.asarray(sc)
-        cur = q
-        for f in range(query_frame - 1, -1, -1):
-            cur, sc = patch_track_step(v[f + 1], v[f], cur)
-            tracks[f] = np.asarray(cur)
-            scores[f] = np.asarray(sc)
+        if query_frame < t - 1:
+            tr, sc = _track_chain(v[query_frame:], q)
+            tracks[query_frame + 1 :] = np.asarray(tr)
+            scores[query_frame + 1 :] = np.asarray(sc)
+        if query_frame > 0:
+            tr, sc = _track_chain(v[query_frame::-1], q)
+            tracks[:query_frame] = np.asarray(tr)[::-1]
+            scores[:query_frame] = np.asarray(sc)[::-1]
         return tracks, scores > 0.5
