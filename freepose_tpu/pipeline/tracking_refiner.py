@@ -171,14 +171,22 @@ class TrackingRefiner:
         self, mesh: TriMesh, frames: np.ndarray, k: jax.Array, poses: np.ndarray,
         chunk: int = 8,
     ):
-        """Confidence + inlier count for every frame (reference :92-100)."""
-        confs = np.concatenate([
-            self.pose_confidence_batch(
-                mesh, jnp.asarray(frames[i : i + chunk]), k,
-                jnp.asarray(poses[i : i + chunk]),
-            )
-            for i in range(0, len(frames), chunk)
-        ])
+        """Confidence + inlier count for every frame (reference :92-100).
+
+        Software-pipelined: the NEXT chunk's frame upload is issued (async
+        device_put) before blocking on the current chunk's tiny result fetch,
+        so host->device transfer overlaps compute."""
+        n = len(frames)
+        nxt = jax.device_put(frames[:chunk])
+        confs = []
+        for i in range(0, n, chunk):
+            cur = nxt
+            if i + chunk < n:
+                nxt = jax.device_put(frames[i + chunk : i + 2 * chunk])
+            confs.append(self.pose_confidence_batch(
+                mesh, cur, k, jnp.asarray(poses[i : i + chunk])
+            ))
+        confs = np.concatenate(confs)
         thr = float(quantile_threshold(jnp.asarray(confs)))
         return (confs > thr).sum(axis=(1, 2)), thr
 
