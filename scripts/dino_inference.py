@@ -92,9 +92,10 @@ def main() -> None:
         else:  # zoedepth: scale carried in the proposal JSON (compute_scale)
             scales = np.asarray([max(p.get("scale", 0.1), 0.01) for p in scene_props])
 
-        for i, mesh_id in enumerate(mesh_ids):
-            t0 = time.perf_counter()
-            with timer.stage("templates"):
+        t0 = time.perf_counter()
+        packs = []
+        with timer.stage("templates"):
+            for mesh_id in mesh_ids:
                 item = templates.get_template_by_name(mesh_id)
                 pack = bank.cache.get(item["model_name"])
                 if pack is None:
@@ -115,18 +116,23 @@ def main() -> None:
                         jnp.asarray(item["intrinsic"]),
                     )
                     bank.cache[item["model_name"]] = pack
-            with timer.stage("pose"):
-                out = estimator.estimate(
-                    prop.proposals[i], pack, jnp.asarray(entry["intrinsic"], jnp.float32),
-                    boxes[i], float(scales[i]),
-                )
+                packs.append(pack)
+        with timer.stage("pose"):
+            # One ViT batch for every proposal of the frame, then per-pack
+            # scoring (estimator.estimate_batch).
+            outs = estimator.estimate_batch(
+                prop.proposals, packs, jnp.asarray(entry["intrinsic"], jnp.float32),
+                boxes, scales,
+            )
+        dt = (time.perf_counter() - t0) / max(len(mesh_ids), 1)
+        for i, (mesh_id, out) in enumerate(zip(mesh_ids, outs)):
             tco = np.asarray(out.tcos[0])
             results.append(PoseResult(
                 scene_id=entry["scene_id"], im_id=entry["frame_id"], obj_id=mesh_id,
                 score=float(out.scores[0]), R=tco[:3, :3], t=tco[:3, 3],
                 bbox_visib=np.array([boxes[i][0], boxes[i][1],
                                      boxes[i][2] - boxes[i][0], boxes[i][3] - boxes[i][1]]),
-                scale=float(scales[i]), time=time.perf_counter() - t0,
+                scale=float(scales[i]), time=dt,
             ))
 
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)

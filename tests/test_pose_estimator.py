@@ -132,3 +132,25 @@ def test_bank_lru_and_disk_cache(tmp_path, setup):
     assert "a" not in bank.cache
     p1_again = bank.get("a")  # loads from disk, no mesh needed
     np.testing.assert_allclose(np.asarray(p1.feats), np.asarray(p1_again.feats), atol=2e-3)
+
+
+def test_estimate_batch_matches_serial(setup):
+    """estimate_batch (one ViT batch per frame) must equal per-proposal
+    estimate() for every proposal, including distinct packs."""
+    _, renderer, bank, est = setup
+    mesh_a, mesh_b = _mesh(), _mesh()
+    pack_a = bank.get("blob", mesh_a)
+    pack_b = bank.get("blob_b", mesh_b)
+    rgb, depth = renderer.render(mesh_a)
+    props, masks, boxes = renderer.generate_proposals(rgb, depth)
+    qs = [1, 5, 9]
+    packs = [pack_a, pack_b, pack_a]
+    proposals = props[jnp.asarray(qs)]
+    bxs = np.asarray(boxes)[qs].astype(np.float32)
+    scales = [0.25, 0.3, 0.2]
+    batch = est.estimate_batch(proposals, packs, renderer.k, bxs, scales)
+    for i, q in enumerate(qs):
+        solo = est.estimate(props[q], packs[i], renderer.k, bxs[i], est_scale=scales[i])
+        np.testing.assert_allclose(np.asarray(batch[i].tcos), np.asarray(solo.tcos), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(batch[i].scores), np.asarray(solo.scores), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(batch[i].view_indices), np.asarray(solo.view_indices))
