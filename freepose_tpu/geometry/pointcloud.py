@@ -111,3 +111,40 @@ def pointcloud_from_mask(
     if svd:
         pts = svd_align(pts, valid)
     return pts, valid
+
+
+def colored_point_cloud(
+    rgb: jax.Array,  # [H, W, 3] in [0, 255] or [0, 1]
+    depth: jax.Array,  # [H, W] metres
+    k: jax.Array,
+    mask: jax.Array,  # [H, W] bool
+    erosion_radius: int = 1,
+    std_factor: float = 3.0,
+    align: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """[H*W, 6] padded XYZRGB cloud + validity, from the largest connected
+    mask component after isotropic erosion, with median±std·std_factor depth
+    outlier rejection and optional SVD principal-axis alignment — the
+    reference's colored debug cloud, generate_point_cloud
+    (src/pipeline/utils.py:86-120), as a masked static-shape program."""
+    from freepose_tpu.ops.connected_components import largest_component
+    from freepose_tpu.ops.erosion import isotropic_erosion
+
+    m = isotropic_erosion(largest_component(mask), radius=erosion_radius)
+    z = depth.reshape(-1)
+    valid = m.reshape(-1) & (z > 0)
+    med = masked_median(z, valid)
+    std = masked_std(z, valid)
+    valid = valid & (jnp.abs(z - med) < std * std_factor)
+
+    h, w = depth.shape
+    uu, vv = jnp.meshgrid(jnp.arange(w, dtype=depth.dtype), jnp.arange(h, dtype=depth.dtype))
+    fx, fy, cx, cy = k[0, 0], k[1, 1], k[0, 2], k[1, 2]
+    x = (uu.reshape(-1) - cx) * z / fx
+    y = (vv.reshape(-1) - cy) * z / fy
+    pts = jnp.stack([x, y, z], axis=-1)
+    if align:
+        pts = svd_align(pts, valid)
+    colors = rgb.reshape(-1, 3).astype(jnp.float32)
+    colors = jnp.where(jnp.max(colors) > 1.5, colors / 255.0, colors)
+    return jnp.concatenate([pts, colors], axis=-1), valid

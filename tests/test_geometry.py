@@ -118,3 +118,37 @@ def test_update_k_with_crop_identity():
     new_k = np.asarray(C.update_k_with_crop(k, bboxes, 640, 480))
     np.testing.assert_allclose(new_k[0, 0, 0], 600.0, atol=1e-4)
     np.testing.assert_allclose(new_k[0, 0, 2], 320.0 - 0.5, atol=0.51)
+
+
+def test_colored_point_cloud_matches_reference_semantics():
+    """colored_point_cloud: XYZRGB rows land on the backprojected surface,
+    colors normalized to [0,1], largest-CC isolation drops a second blob."""
+    import jax.numpy as jnp
+    from freepose_tpu.geometry.pointcloud import colored_point_cloud
+
+    h, w = 40, 50
+    k = jnp.asarray([[60.0, 0, 25], [0, 60.0, 20], [0, 0, 1]])
+    depth = np.zeros((h, w), np.float32)
+    mask = np.zeros((h, w), bool)
+    # main blob near z=2 (slightly varying: the reference's strict
+    # median±std·k cut keeps nothing on perfectly flat depth)
+    rng = np.random.default_rng(0)
+    depth[10:25, 10:30] = 2.0 + 0.01 * rng.standard_normal((15, 20)).astype(np.float32)
+    mask[10:25, 10:30] = True
+    # tiny distractor blob elsewhere (must be dropped by largest-CC)
+    depth[35:38, 45:48] = 5.0
+    mask[35:38, 45:48] = True
+    rgb = np.full((h, w, 3), 128, np.uint8)
+    cloud, valid = colored_point_cloud(
+        jnp.asarray(rgb), jnp.asarray(depth), k, jnp.asarray(mask), align=False
+    )
+    cloud, valid = np.asarray(cloud), np.asarray(valid)
+    assert valid.sum() > 0
+    pts = cloud[valid]
+    np.testing.assert_allclose(pts[:, 2], 2.0, atol=0.05)  # distractor gone
+    np.testing.assert_allclose(pts[:, 3:], 128 / 255.0, atol=1e-6)
+    # aligned variant returns same validity, rotated coords
+    cloud_a, valid_a = colored_point_cloud(
+        jnp.asarray(rgb), jnp.asarray(depth), k, jnp.asarray(mask), align=True
+    )
+    np.testing.assert_array_equal(np.asarray(valid_a), valid)
