@@ -16,6 +16,13 @@ from pathlib import Path
 import numpy as np
 
 
+# Texture-bake subdivision budget = the pipeline rasterizer's static mesh
+# caps (TemplateRenderer defaults): subdividing past them would only be
+# decimated back by pad_mesh.
+TEXTURE_BAKE_MAX_VERTICES = 8192
+TEXTURE_BAKE_MAX_FACES = 16384
+
+
 @dataclasses.dataclass
 class TriMesh:
     """Triangle mesh with optional per-vertex colors (float [0, 1])."""
@@ -87,6 +94,60 @@ def _bake_texture_to_vertices(
     return rgb
 
 
+def _split_seams_and_subdivide(
+    verts: np.ndarray,
+    uvs_arr: np.ndarray,
+    faces: list[tuple[int, int, int]],
+    face_uvs: list[tuple[int, int, int]],
+    budget_v: int,
+    budget_f: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(vertex, uv)-pair splitting + midpoint subdivision up to the raster
+    budget, so baked per-vertex colors approach texel density on low-poly
+    textured meshes (the reference renders true textures; our rasterizer
+    shades vertex colors — without this a 2k-face mesh keeps only 2k texture
+    samples). Splitting by UV pair also fixes seam bleeding (a seam vertex
+    previously took one side's color). Returns (V [n,3], UV [n,2], F [m,3])."""
+    pair_index: dict[tuple[int, int], int] = {}
+    new_v: list[np.ndarray] = []
+    new_uv: list[np.ndarray] = []
+    tri: list[list[int]] = []
+    for (va, vb, vc), (ta, tb, tc) in zip(faces, face_uvs):
+        idx = []
+        for vi, ti in ((va, ta), (vb, tb), (vc, tc)):
+            j = pair_index.get((vi, ti))
+            if j is None:
+                j = pair_index[(vi, ti)] = len(new_v)
+                new_v.append(verts[vi])
+                new_uv.append(uvs_arr[ti] if ti >= 0 else np.zeros(2, np.float32))
+            idx.append(j)
+        tri.append(idx)
+    v = np.asarray(new_v, np.float32)
+    uv = np.asarray(new_uv, np.float32)
+    f = np.asarray(tri, np.int64).reshape(-1, 3)
+
+    while len(f):
+        e = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])  # [3F, 2]
+        e = np.sort(e, axis=1)
+        uniq, inv = np.unique(e[:, 0] * (1 << 32) + e[:, 1], return_inverse=True)
+        if len(f) * 4 > budget_f or len(v) + len(uniq) > budget_v:
+            break
+        ea = (uniq >> 32).astype(np.int64)
+        eb = (uniq & ((1 << 32) - 1)).astype(np.int64)
+        mid_v = (v[ea] + v[eb]) / 2.0
+        mid_uv = (uv[ea] + uv[eb]) / 2.0
+        mid_idx = len(v) + np.arange(len(uniq))
+        v = np.concatenate([v, mid_v])
+        uv = np.concatenate([uv, mid_uv])
+        m01, m12, m20 = (mid_idx[inv[i * len(f) : (i + 1) * len(f)]] for i in range(3))
+        a, b, c = f[:, 0], f[:, 1], f[:, 2]
+        f = np.concatenate([
+            np.stack([a, m01, m20], 1), np.stack([m01, b, m12], 1),
+            np.stack([m20, m12, c], 1), np.stack([m01, m12, m20], 1),
+        ])
+    return v, uv, f.astype(np.int32)
+
+
 def load_obj(path: str | Path, load_texture: bool = True) -> TriMesh:
     """Minimal OBJ parser: v / vt / f (+ mtl map_Kd texture baked to vertex
     colors). Polygonal faces are fan-triangulated; negative indices handled."""
@@ -129,19 +190,15 @@ def load_obj(path: str | Path, load_texture: bool = True) -> TriMesh:
     vertex_colors = None
     if colors_inline and len(colors_inline) == len(verts):
         vertex_colors = np.asarray(colors_inline, dtype=np.float32)
-    elif mtl_texture is not None and uvs:
-        # Bake the texture to per-vertex colors using each vertex's (last
-        # seen) UV reference.
-        uv_of_vertex = np.zeros((len(verts), 2), dtype=np.float32)
-        seen = np.zeros(len(verts), dtype=bool)
+    elif mtl_texture is not None and uvs and faces:
+        # Split UV-seam vertices and subdivide up to the rasterizer budget
+        # so the baked per-vertex colors approach texel density, then bake.
         uvs_arr = np.asarray(uvs, dtype=np.float32)
-        for (va, vb, vc), (ta, tb, tc) in zip(faces, face_uvs):
-            for vi, ti in ((va, ta), (vb, tb), (vc, tc)):
-                if ti >= 0:
-                    uv_of_vertex[vi] = uvs_arr[ti]
-                    seen[vi] = True
-        vertex_colors = _bake_texture_to_vertices(uv_of_vertex, mtl_texture)
-        vertex_colors[~seen] = 0.7
+        vertices, uv_final, faces_arr = _split_seams_and_subdivide(
+            vertices, uvs_arr, faces, face_uvs,
+            budget_v=TEXTURE_BAKE_MAX_VERTICES, budget_f=TEXTURE_BAKE_MAX_FACES,
+        )
+        vertex_colors = _bake_texture_to_vertices(uv_final, mtl_texture)
     return TriMesh(vertices, faces_arr, vertex_colors)
 
 

@@ -239,3 +239,62 @@ def test_check_bop_results(tmp_path):
     junk.write_text("not,a,results,file\n1,2,3,4\n")
     ok, msg = bop_csv.check_bop_results(junk)
     assert not ok
+
+
+def test_textured_obj_subdivides_and_bakes(tmp_path):
+    """A low-poly textured quad must subdivide toward the raster budget so
+    baked vertex colors capture texture detail (checkerboard -> both colors
+    present, spatially correlated with the texture)."""
+    from PIL import Image
+    from freepose_tpu.io import mesh as meshio
+
+    # checkerboard texture: left half red, right half blue
+    tex = np.zeros((64, 64, 3), np.uint8)
+    tex[:, :32] = [255, 0, 0]
+    tex[:, 32:] = [0, 0, 255]
+    Image.fromarray(tex).save(tmp_path / "tex.png")
+    (tmp_path / "mesh.mtl").write_text("newmtl m\nmap_Kd tex.png\n")
+    (tmp_path / "mesh.obj").write_text(
+        "mtllib mesh.mtl\n"
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+        "vt 0 0\nvt 1 0\nvt 1 1\nvt 0 1\n"
+        "f 1/1 2/2 3/3\nf 1/1 3/3 4/4\n"
+    )
+    m = meshio.load_obj(tmp_path / "mesh.obj")
+    assert m.num_faces > 1000, "expected subdivision toward the raster budget"
+    assert m.num_faces <= meshio.TEXTURE_BAKE_MAX_FACES
+    assert m.num_vertices <= meshio.TEXTURE_BAKE_MAX_VERTICES
+    assert m.vertex_colors is not None
+    # u<0.45 -> red, u>0.55 -> blue (x == u on this quad)
+    left = m.vertex_colors[m.vertices[:, 0] < 0.45]
+    right = m.vertex_colors[m.vertices[:, 0] > 0.55]
+    assert len(left) > 50 and len(right) > 50
+    assert (np.abs(left - [1.0, 0, 0]) < 1e-6).all()
+    assert (np.abs(right - [0, 0, 1.0]) < 1e-6).all()
+    # geometry unchanged: still the unit quad
+    np.testing.assert_allclose(m.vertices.min(0), [0, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(m.vertices.max(0), [1, 1, 0], atol=1e-6)
+
+
+def test_textured_obj_uv_seam_splits_vertices(tmp_path):
+    """Two triangles sharing vertices but with DIFFERENT UVs (a seam): the
+    shared vertices must split so each side keeps its own color."""
+    from PIL import Image
+    from freepose_tpu.io import mesh as meshio
+
+    tex = np.zeros((8, 8, 3), np.uint8)
+    tex[:, :4] = [255, 0, 0]
+    tex[:, 4:] = [0, 255, 0]
+    Image.fromarray(tex).save(tmp_path / "t.png")
+    (tmp_path / "m.mtl").write_text("newmtl m\nmap_Kd t.png\n")
+    # both triangles map fully into one texture half each, sharing an edge
+    (tmp_path / "m.obj").write_text(
+        "mtllib m.mtl\n"
+        "v 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0\n"
+        "vt 0.1 0.5\nvt 0.9 0.5\n"
+        "f 1/1 2/1 3/1\nf 2/2 4/2 3/2\n"
+    )
+    m = meshio.load_obj(tmp_path / "m.obj")
+    reds = (np.abs(m.vertex_colors - [1, 0, 0]) < 1e-6).all(1).sum()
+    greens = (np.abs(m.vertex_colors - [0, 1, 0]) < 1e-6).all(1).sum()
+    assert reds > 0 and greens > 0, "seam faces must keep their own colors"
