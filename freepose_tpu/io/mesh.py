@@ -110,7 +110,7 @@ def _split_seams_and_subdivide(
     previously took one side's color). Returns (V [n,3], UV [n,2], F [m,3])."""
     pair_index: dict[tuple[int, int], int] = {}
     new_v: list[np.ndarray] = []
-    new_uv: list[np.ndarray] = []
+    new_uv: list[np.ndarray] = []  # UV in [0,1]²; (-1,-1) marks "no vt ref" (bakes gray)
     tri: list[list[int]] = []
     for (va, vb, vc), (ta, tb, tc) in zip(faces, face_uvs):
         idx = []
@@ -119,7 +119,7 @@ def _split_seams_and_subdivide(
             if j is None:
                 j = pair_index[(vi, ti)] = len(new_v)
                 new_v.append(verts[vi])
-                new_uv.append(uvs_arr[ti] if ti >= 0 else np.zeros(2, np.float32))
+                new_uv.append(uvs_arr[ti] if ti >= 0 else np.full(2, -1.0, np.float32))
             idx.append(j)
         tri.append(idx)
     v = np.asarray(new_v, np.float32)
@@ -198,7 +198,8 @@ def load_obj(path: str | Path, load_texture: bool = True) -> TriMesh:
             vertices, uvs_arr, faces, face_uvs,
             budget_v=TEXTURE_BAKE_MAX_VERTICES, budget_f=TEXTURE_BAKE_MAX_FACES,
         )
-        vertex_colors = _bake_texture_to_vertices(uv_final, mtl_texture)
+        vertex_colors = _bake_texture_to_vertices(np.clip(uv_final, 0.0, 1.0), mtl_texture)
+        vertex_colors[(uv_final < 0.0).all(axis=1)] = 0.7  # faces without vt refs
     return TriMesh(vertices, faces_arr, vertex_colors)
 
 
