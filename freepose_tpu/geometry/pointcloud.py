@@ -97,20 +97,24 @@ def pointcloud_from_mask(
     freepose_tpu.ops.connected_components / erosion), mirroring
     generate_pointcloud (reference scale_estimators.py:132-177).
     """
-    h, w = depth.shape
-    u = jnp.arange(w, dtype=depth.dtype)
-    v = jnp.arange(h, dtype=depth.dtype)
-    uu, vv = jnp.meshgrid(u, v)
     z = depth.reshape(-1)
     valid = mask.reshape(-1) & (z > 0)
     valid = reject_depth_outliers(z, valid, std_factor, min_vertices)
-    fx, fy, cx, cy = k[0, 0], k[1, 1], k[0, 2], k[1, 2]
-    x = (uu.reshape(-1) - cx) * z / fx
-    y = (vv.reshape(-1) - cy) * z / fy
-    pts = jnp.stack([x, y, z], axis=-1)
+    pts = backproject_flat(depth, k)
     if svd:
         pts = svd_align(pts, valid)
     return pts, valid
+
+
+def backproject_flat(depth: jax.Array, k: jax.Array) -> jax.Array:
+    """Dense pinhole backprojection of [H, W] depth -> [H*W, 3] points."""
+    h, w = depth.shape
+    uu, vv = jnp.meshgrid(jnp.arange(w, dtype=depth.dtype), jnp.arange(h, dtype=depth.dtype))
+    z = depth.reshape(-1)
+    fx, fy, cx, cy = k[0, 0], k[1, 1], k[0, 2], k[1, 2]
+    x = (uu.reshape(-1) - cx) * z / fx
+    y = (vv.reshape(-1) - cy) * z / fy
+    return jnp.stack([x, y, z], axis=-1)
 
 
 def colored_point_cloud(
@@ -133,16 +137,13 @@ def colored_point_cloud(
     m = isotropic_erosion(largest_component(mask), radius=erosion_radius)
     z = depth.reshape(-1)
     valid = m.reshape(-1) & (z > 0)
+    # Strict median±std·k cut, no forced minimum (reference utils.py:111-112
+    # semantics — reject_depth_outliers adds a min_vertices floor it lacks).
     med = masked_median(z, valid)
     std = masked_std(z, valid)
     valid = valid & (jnp.abs(z - med) < std * std_factor)
 
-    h, w = depth.shape
-    uu, vv = jnp.meshgrid(jnp.arange(w, dtype=depth.dtype), jnp.arange(h, dtype=depth.dtype))
-    fx, fy, cx, cy = k[0, 0], k[1, 1], k[0, 2], k[1, 2]
-    x = (uu.reshape(-1) - cx) * z / fx
-    y = (vv.reshape(-1) - cy) * z / fy
-    pts = jnp.stack([x, y, z], axis=-1)
+    pts = backproject_flat(depth, k)
     if align:
         pts = svd_align(pts, valid)
     colors = rgb.reshape(-1, 3).astype(jnp.float32)

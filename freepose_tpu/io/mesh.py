@@ -107,10 +107,13 @@ def _split_seams_and_subdivide(
     textured meshes (the reference renders true textures; our rasterizer
     shades vertex colors — without this a 2k-face mesh keeps only 2k texture
     samples). Splitting by UV pair also fixes seam bleeding (a seam vertex
-    previously took one side's color). Returns (V [n,3], UV [n,2], F [m,3])."""
+    previously took one side's color). Returns (V [n,3], UVW [n,3] with
+    w=1 where a real vt ref exists, F [m,3])."""
     pair_index: dict[tuple[int, int], int] = {}
     new_v: list[np.ndarray] = []
-    new_uv: list[np.ndarray] = []  # UV in [0,1]²; (-1,-1) marks "no vt ref" (bakes gray)
+    # [u, v, has_vt]: validity rides as a third channel so midpoint averaging
+    # propagates it (a midpoint with any no-vt ancestor ends < 1 -> gray).
+    new_uv: list[np.ndarray] = []
     tri: list[list[int]] = []
     for (va, vb, vc), (ta, tb, tc) in zip(faces, face_uvs):
         idx = []
@@ -119,7 +122,10 @@ def _split_seams_and_subdivide(
             if j is None:
                 j = pair_index[(vi, ti)] = len(new_v)
                 new_v.append(verts[vi])
-                new_uv.append(uvs_arr[ti] if ti >= 0 else np.full(2, -1.0, np.float32))
+                new_uv.append(
+                    np.array([*uvs_arr[ti], 1.0], np.float32)
+                    if ti >= 0 else np.zeros(3, np.float32)
+                )
             idx.append(j)
         tri.append(idx)
     v = np.asarray(new_v, np.float32)
@@ -194,12 +200,17 @@ def load_obj(path: str | Path, load_texture: bool = True) -> TriMesh:
         # Split UV-seam vertices and subdivide up to the rasterizer budget
         # so the baked per-vertex colors approach texel density, then bake.
         uvs_arr = np.asarray(uvs, dtype=np.float32)
-        vertices, uv_final, faces_arr = _split_seams_and_subdivide(
+        vertices, uvw, faces_arr = _split_seams_and_subdivide(
             vertices, uvs_arr, faces, face_uvs,
             budget_v=TEXTURE_BAKE_MAX_VERTICES, budget_f=TEXTURE_BAKE_MAX_FACES,
         )
-        vertex_colors = _bake_texture_to_vertices(np.clip(uv_final, 0.0, 1.0), mtl_texture)
-        vertex_colors[(uv_final < 0.0).all(axis=1)] = 0.7  # faces without vt refs
+        # Wrap UVs outside [0,1] (tiling textures; OBJ UVs are unbounded)
+        # but keep exact 0/1 edge values as-is.
+        uv = uvw[:, :2]
+        wrap = (uv < 0.0) | (uv > 1.0)
+        uv = np.where(wrap, uv - np.floor(uv), uv)
+        vertex_colors = _bake_texture_to_vertices(uv, mtl_texture)
+        vertex_colors[uvw[:, 2] < 0.999] = 0.7  # any no-vt ancestry -> gray
     return TriMesh(vertices, faces_arr, vertex_colors)
 
 

@@ -119,8 +119,18 @@ class CoarsePoseEstimator:
         """Frame-level batching: ONE ViT featurization batch for all P
         proposals (the dominant cost — ~60 GFLOP/proposal for ViT-L vs
         ~1 GFLOP for the 600-view scoring), then per-pack score+lift.
-        Identical results to P estimate() calls (parity-tested)."""
-        qfs = normalize_feats(self.feature_fn(proposals))  # [P, G², D]
+        Identical results to P estimate() calls (parity-tested).
+
+        The batch pads to the next power of two: per-frame proposal counts
+        vary scene to scene, and each distinct batch shape would otherwise
+        recompile the full ViT program."""
+        p = proposals.shape[0]
+        p_pad = 1 << max(p - 1, 0).bit_length()
+        if p_pad != p:
+            proposals = jnp.concatenate(
+                [proposals, jnp.zeros((p_pad - p,) + proposals.shape[1:], proposals.dtype)]
+            )
+        qfs = normalize_feats(self.feature_fn(proposals))[:p]  # [P, G², D]
         out = []
         for i, pack in enumerate(packs):
             tcos, scores, idx = score_and_lift(

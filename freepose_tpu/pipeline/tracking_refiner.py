@@ -89,17 +89,22 @@ class TrackingRefiner:
 
     def _padded(self, mesh: TriMesh, scale: float = 1.0):
         """pad_mesh result cached per (mesh, scale) — re-uploading vertex
-        data per frame costs a host->device transfer each call."""
+        data per frame costs a host->device transfer each call. The entry
+        stores the mesh object itself (identity-checked): a bare id() key
+        could alias a recycled address after GC. Bounded to the last few
+        meshes (device buffers are ~300 KB each)."""
         cache = getattr(self, "_pad_cache", None)
         if cache is None:
             cache = self._pad_cache = {}
         key = (id(mesh), scale)
-        if key not in cache:
+        entry = cache.get(key)
+        if entry is None or entry[0] is not mesh:
             v, c, f, valid = pad_mesh(mesh, self.max_vertices, self.max_faces)
-            cache[key] = tuple(
-                jnp.asarray(x) for x in (v * scale, c, f, valid)
-            )
-        return cache[key]
+            entry = (mesh, tuple(jnp.asarray(x) for x in (v * scale, c, f, valid)))
+            cache[key] = entry
+            while len(cache) > 8:
+                cache.pop(next(iter(cache)))
+        return entry[1]
 
     def _render(self, mesh: TriMesh, k: jax.Array, pose: jax.Array, scale: float = 1.0):
         v, c, f, valid = self._padded(mesh, scale)
@@ -175,17 +180,27 @@ class TrackingRefiner:
 
         Software-pipelined: the NEXT chunk's frame upload is issued (async
         device_put) before blocking on the current chunk's tiny result fetch,
-        so host->device transfer overlaps compute."""
+        so host->device transfer overlaps compute. The tail chunk pads to
+        `chunk` by repeating the last frame (result rows sliced off) — a
+        partial tail would recompile the fused program at a new batch shape."""
         n = len(frames)
-        nxt = jax.device_put(frames[:chunk])
+
+        def padded(arr, i):
+            part = arr[i : i + chunk]
+            if len(part) < chunk:
+                part = np.concatenate([part, np.repeat(part[-1:], chunk - len(part), axis=0)])
+            return part
+
+        frames = np.asarray(frames)
+        poses = np.asarray(poses)
+        nxt = jax.device_put(padded(frames, 0))
         confs = []
         for i in range(0, n, chunk):
             cur = nxt
             if i + chunk < n:
-                nxt = jax.device_put(frames[i + chunk : i + 2 * chunk])
-            confs.append(self.pose_confidence_batch(
-                mesh, cur, k, jnp.asarray(poses[i : i + chunk])
-            ))
+                nxt = jax.device_put(padded(frames, i + chunk))
+            out = self.pose_confidence_batch(mesh, cur, k, jnp.asarray(padded(poses, i)))
+            confs.append(out[: n - i])
         confs = np.concatenate(confs)
         thr = float(quantile_threshold(jnp.asarray(confs)))
         return (confs > thr).sum(axis=(1, 2)), thr
