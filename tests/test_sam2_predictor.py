@@ -202,3 +202,18 @@ def test_video_binarize_matches_logits_threshold(video_predictor):
             assert low_b.dtype == bool and high_b.dtype == bool
             np.testing.assert_array_equal(low_f > 0, low_b)
             np.testing.assert_array_equal(high_f > 0, high_b)
+
+
+def test_image_predictor_batched_boxes_match_sequential(image_predictor):
+    """N boxes in one predict() call must equal N per-box calls (the
+    proposal CLI decodes all detections as one batched prompt set)."""
+    rng = np.random.default_rng(2)
+    image = (rng.random((48, 80, 3)) * 255).astype(np.uint8)
+    image_predictor.set_image(jnp.asarray(image))
+    boxes = np.array([[5, 5, 30, 30], [20, 10, 70, 40], [1, 25, 40, 47]], np.float32)
+    m_b, iou_b, lg_b = image_predictor.predict(box=boxes, multimask_output=False)
+    assert m_b.shape[0] == 3
+    for i in range(3):
+        m_s, iou_s, lg_s = image_predictor.predict(box=boxes[i], multimask_output=False)
+        np.testing.assert_array_equal(m_b[i], m_s[0])
+        np.testing.assert_allclose(iou_b[i], iou_s[0], atol=1e-5)
