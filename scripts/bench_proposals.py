@@ -56,8 +56,11 @@ def main() -> None:
     else:
         import dataclasses
 
-        g_cfg, g_size = GroundingDinoConfig(), 800
-        s_cfg, s_size = Sam2Config(), 1024
+        # bf16 everywhere — the production CLI configs.
+        from scripts.common import production_gdino_config, production_sam2_config
+
+        g_cfg, g_size = production_gdino_config(), 800
+        s_cfg, s_size = production_sam2_config()
         d_cfg = dataclasses.replace(VIT_L14_REG, dtype=jnp.bfloat16, use_flash=True)
         d_res, layer = 420, 22
         h, w, bank_rows = 480, 640, args.bank_rows

@@ -103,3 +103,72 @@ def flatten(tree: dict, prefix: str = "") -> dict:
 
 def save_params(params: dict, path: str | Path) -> None:
     np.savez(Path(path), **flatten(params))
+
+
+def _on_accelerator() -> bool:
+    import jax
+
+    return jax.devices()[0].platform in ("tpu", "axon", "gpu")
+
+
+def production_gdino_config():
+    """GroundingDINO config at the production dtype: bf16 on accelerators
+    (the reference's torch inference dtype), f32 on CPU. Nested Swin/BERT
+    dtypes follow. FREEPOSE_TINY_MODELS=1 swaps the tiny test config."""
+    import dataclasses
+    import os
+
+    import jax.numpy as jnp
+
+    from freepose_tpu.models.grounding_dino import GDINO_TEST, GroundingDinoConfig
+
+    if os.environ.get("FREEPOSE_TINY_MODELS"):
+        return GDINO_TEST
+    cfg = GroundingDinoConfig()
+    if _on_accelerator():
+        bf = jnp.bfloat16
+        cfg = dataclasses.replace(
+            cfg, dtype=bf,
+            swin=dataclasses.replace(cfg.swin, dtype=bf),
+            text=dataclasses.replace(cfg.text, dtype=bf),
+        )
+    return cfg
+
+
+def production_sam2_config():
+    """SAM2 hiera-L config at the production dtype (see
+    production_gdino_config). Returns (config, image_size)."""
+    import dataclasses
+    import os
+
+    import jax.numpy as jnp
+
+    from freepose_tpu.models.sam2.model import SAM2_TEST, Sam2Config
+
+    if os.environ.get("FREEPOSE_TINY_MODELS"):
+        return SAM2_TEST, 64
+    cfg = Sam2Config()
+    if _on_accelerator():
+        bf = jnp.bfloat16
+        cfg = dataclasses.replace(
+            cfg, dtype=bf,
+            hiera=dataclasses.replace(cfg.hiera, dtype=bf),
+            prompt=dataclasses.replace(cfg.prompt, dtype=bf),
+            decoder=dataclasses.replace(cfg.decoder, dtype=bf),
+        )
+    return cfg, 1024
+
+
+def production_sam2_video_config():
+    """SAM2 video-tracking config at the production dtype (bf16 trunk on
+    accelerators, the measured bench configuration — scripts/bench_e2e.py)."""
+    import os
+
+    if os.environ.get("FREEPOSE_TINY_MODELS"):
+        from tests.test_sam2_video import OUR_CFG
+
+        return OUR_CFG
+    from freepose_tpu.models.sam2.video import Sam2VideoConfig
+
+    cfg, _ = production_sam2_config()
+    return Sam2VideoConfig(sam=cfg)

@@ -66,15 +66,11 @@ _CACHE: dict = {}
 
 def _cached_sam2(args):
     if "sam2" not in _CACHE:
-        import os
-
-        from freepose_tpu.models.sam2.model import SAM2_TEST, Sam2Config, Sam2ImageModel
+        from freepose_tpu.models.sam2.model import Sam2ImageModel
         from freepose_tpu.models.sam2.predictor import Sam2ImagePredictor
+        from scripts.common import production_sam2_config
 
-        if os.environ.get("FREEPOSE_TINY_MODELS"):
-            cfg, size = SAM2_TEST, 64
-        else:
-            cfg, size = Sam2Config(), 1024
+        cfg, size = production_sam2_config()  # bf16 on accelerators
         params = load_params(args.sam2_weights) if args.sam2_weights else None
         if params is None:
             model = Sam2ImageModel(cfg)
@@ -88,8 +84,11 @@ def _cached_sam2(args):
 def _cached_grounding(args):
     if "grounding" not in _CACHE:
         from freepose_tpu.models.grounding_dino import GroundingDinoDetector
+        from scripts.common import production_gdino_config
 
-        _CACHE["grounding"] = GroundingDinoDetector.from_weights(args.grounding_weights)
+        _CACHE["grounding"] = GroundingDinoDetector.from_weights(
+            args.grounding_weights, config=production_gdino_config()
+        )
     return _CACHE["grounding"]
 
 

@@ -31,10 +31,9 @@ def load_video_predictor(args):
     from freepose_tpu.models.sam2.video import Sam2VideoConfig, Sam2VideoModel
     from freepose_tpu.models.sam2.predictor import Sam2VideoPredictor
 
-    if os.environ.get("FREEPOSE_TINY_MODELS"):
-        from tests.test_sam2_video import OUR_CFG as cfg  # tiny config
-    else:
-        cfg = Sam2VideoConfig()
+    from scripts.common import production_sam2_video_config
+
+    cfg = production_sam2_video_config()  # bf16 trunk on accelerators
     params = load_params(args.sam2_weights) if args.sam2_weights else None
     if params is None:
         from freepose_tpu.models.sam2.video import init_object_state

@@ -157,6 +157,35 @@ def test_video_pipeline_end_to_end(video_ws):
     assert np.isfinite(rot.values).all()
 
 
+def test_video_proposals_cli_runs(video_ws):
+    """extract_proposals_ground_video end-to-end: frame-0 boxes -> SAM2
+    propagation -> FFA retrieval -> soft voting -> proposal JSON. With
+    random-init SAM2 weights the propagated masks are empty (near-zero
+    logits), so this asserts the full flow executes and emits valid JSON;
+    mask/propagation CORRECTNESS is covered by the HF-parity tests in
+    test_sam2_video.py and the predictor tests."""
+    ws = video_ws
+    rng = np.random.default_rng(0)
+    props = json.loads((ws / "props.json").read_text())
+    x, y, bw, bh = props[0]["bbox"]
+    np.save(ws / "boxes0.npy", np.array([[x, y, x + bw, y + bh]], np.float32))
+    bank = rng.standard_normal((4, 64)).astype(np.float32)  # VIT_TEST hidden
+    bank /= np.linalg.norm(bank, axis=-1, keepdims=True)
+    np.save(ws / "bank.npy", bank)
+    (ws / "banklist.txt").write_text("m0\nm1\nm2\nblobmesh\n")
+    r = _run([
+        "scripts.extract_proposals_ground_video", "--video-dir", str(ws / "frames"),
+        "--bank", str(ws / "bank.npy"), "--filelist", str(ws / "banklist.txt"),
+        "--out", str(ws / "vprops.json"), "--detector", "boxes",
+        "--boxes", str(ws / "boxes0.npy"), "--min-mask-px", "0",
+    ])
+    out = json.loads((ws / "vprops.json").read_text())
+    assert isinstance(out, list)
+    for p in out:  # any surviving masks must be valid BOP entries
+        assert {"bbox", "segmentation", "mesh", "image_id"} <= set(p)
+        assert p["mesh"] in {"m0", "m1", "m2", "blobmesh"}
+
+
 def test_video_inference_shard_refine_matches(video_ws):
     """--shard-refine (neighbor fan-out over the 8-device mesh) produces the
     same track as the default single-device path (the fine cache is disabled
