@@ -7,6 +7,7 @@ the N-proposal crop done as one fused gather (no N-fold image repeat) and RLE
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -76,3 +77,59 @@ def extract_proposals(
         scene_id=scene_id,
         frame_id=frame_id,
     )
+
+
+def retrieve_topk(
+    image: jax.Array,  # [H, W, 3]
+    masks: jax.Array,  # [N, H, W] bool
+    boxes: jax.Array,  # [N, 4] xyxy
+    bank: jax.Array,  # [M, D] normalized retrieval bank (device-resident)
+    extractor,  # DinoFeatureExtractor
+    layer: int,
+    feature_type: str = "ffa",
+    k: int = 100,
+    target_size: int = 420,
+    bbox_extend: float = 0.1,
+):
+    """Fused per-frame retrieval: proposal crops + DINOv2 + FFA/cls pooling +
+    bank top-k in ONE program (extractor params enter as jit arguments) —
+    the reference's four-stage hot loop (extract_proposals_ground.py:59-140)
+    without a host round trip between stages. Pads the proposal count to the
+    next power of two so per-frame detection counts reuse a few compiled
+    shapes. Returns (scores [N, k], indices [N, k], feats [N, D])."""
+    n = masks.shape[0]
+    n_pad = 1 << max(n - 1, 0).bit_length()
+    if n_pad != n:
+        masks = jnp.concatenate([masks, jnp.zeros((n_pad - n,) + masks.shape[1:], masks.dtype)])
+        boxes = jnp.concatenate([boxes, jnp.tile(boxes[-1:], (n_pad - n, 1))])
+    scores, idx, feats = _retrieve_fused_jit(
+        image, masks, boxes, bank, extractor.params,
+        target_size=target_size, bbox_extend=bbox_extend, extractor=extractor,
+        layer=layer, feature_type=feature_type, k=k,
+    )
+    return scores[:n], idx[:n], feats[:n]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("target_size", "bbox_extend", "extractor", "layer", "feature_type", "k"),
+)
+def _retrieve_fused_jit(
+    image, masks, boxes, bank, fe_params,
+    target_size, bbox_extend, extractor, layer, feature_type, k,
+):
+    from freepose_tpu.models.dinov2 import _extract_jit
+    from freepose_tpu.ops.knn import topk_search
+    from freepose_tpu.ops.sampling import ffa_pool
+    from freepose_tpu.pipeline.template_bank import normalize_feats
+
+    prop = extract_proposals(image, masks, boxes, target_size, bbox_extend)
+    if feature_type == "cls":
+        feats = normalize_feats(
+            _extract_jit.__wrapped__(extractor, fe_params, prop.proposals, layer, "cls")
+        )
+    else:
+        patch = _extract_jit.__wrapped__(extractor, fe_params, prop.proposals, layer, "patch")
+        feats = ffa_pool(patch, prop.masks, grid=target_size // extractor.config.patch_size)
+    scores, idx = topk_search(bank, feats, k)
+    return scores, idx, feats

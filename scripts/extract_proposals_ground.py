@@ -24,7 +24,7 @@ from freepose_tpu.datasets.bop import BOPDataset
 from freepose_tpu.io.proposals_json import proposal_entry, save_proposals
 from freepose_tpu.ops.knn import fine_rerank_scores, topk_search
 from freepose_tpu.ops.sampling import ffa_pool
-from freepose_tpu.pipeline.proposals import extract_proposals
+from freepose_tpu.pipeline.proposals import extract_proposals, retrieve_topk
 from scripts.common import (
     add_shard_args,
     get_shard,
@@ -131,17 +131,13 @@ def main() -> None:
         if not keep:
             continue
         masks, boxes = masks[keep], np.asarray(boxes)[keep]
-        prop = extract_proposals(
+        # Fused: crops + DINOv2 + FFA/cls + bank top-k in one program.
+        scores, indices, feats = retrieve_topk(
             jnp.asarray(entry["image"]), jnp.asarray(masks),
-            jnp.asarray(boxes, jnp.float32), target_size=420, bbox_extend=0.1,
+            jnp.asarray(boxes, jnp.float32), bank_dev, extractor,
+            layer=args.layer, feature_type=args.feature_type,
+            k=min(100, len(names)), target_size=420, bbox_extend=0.1,
         )
-        if args.feature_type == "cls":
-            feats = extractor(prop.proposals, layer=args.layer, feature_type="cls")
-            feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
-        else:
-            patch = extractor(prop.proposals, layer=args.layer, feature_type="patch")
-            feats = ffa_pool(patch, prop.masks, grid=420 // 14)
-        scores, indices = topk_search(bank_dev, feats, min(100, len(names)))
         scores, indices = np.asarray(scores), np.asarray(indices)
         for i in range(len(masks)):
             if args.topk > 0 and (args.fine_bank or args.fine_features_dir):

@@ -160,3 +160,44 @@ def test_topk_search_sharded_uneven_bank():
     s_ref, i_ref = topk_search(jnp.asarray(bank), jnp.asarray(q), 11)
     np.testing.assert_allclose(np.asarray(s_sh), np.asarray(s_ref), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(i_sh), np.asarray(i_ref))
+
+
+def test_retrieve_topk_fused_matches_op_sequence():
+    """Fused per-frame retrieval (crops + DINOv2 + FFA + bank top-k in one
+    program, count padded to a power of two) must equal the separate-op
+    sequence for both feature types."""
+    from freepose_tpu.models.dinov2 import DinoFeatureExtractor, DinoV2Config
+    from freepose_tpu.pipeline.proposals import extract_proposals, retrieve_topk
+    from freepose_tpu.pipeline.template_bank import normalize_feats
+
+    rng = np.random.default_rng(0)
+    cfg = DinoV2Config(hidden_size=32, num_layers=2, num_heads=2, patch_size=14, image_size=56)
+    fe = DinoFeatureExtractor(cfg)
+    h, w, res = 96, 128, 84
+    image = jnp.asarray(rng.random((h, w, 3)).astype(np.float32))
+    masks = np.zeros((3, h, w), bool)
+    masks[0, 20:60, 30:80] = True
+    masks[1, 5:40, 60:120] = True
+    masks[2, 50:90, 5:50] = True
+    boxes = jnp.asarray(np.array(
+        [[30, 20, 80, 60], [60, 5, 120, 40], [5, 50, 50, 90]], np.float32))
+    bank = rng.standard_normal((64, 32)).astype(np.float32)
+    bank /= np.linalg.norm(bank, axis=-1, keepdims=True)
+    bank = jnp.asarray(bank)
+
+    for ftype in ("ffa", "cls"):
+        s_f, i_f, feats_f = retrieve_topk(
+            image, jnp.asarray(masks), boxes, bank, fe, layer=2,
+            feature_type=ftype, k=7, target_size=res, bbox_extend=0.1,
+        )
+        prop = extract_proposals(image, jnp.asarray(masks), boxes, res, 0.1)
+        if ftype == "cls":
+            feats = normalize_feats(fe(prop.proposals, layer=2, feature_type="cls"))
+        else:
+            patch = fe(prop.proposals, layer=2, feature_type="patch")
+            feats = ffa_pool(patch, prop.masks, grid=res // 14)
+        s_r, i_r = topk_search(bank, feats, 7)
+        np.testing.assert_array_equal(np.asarray(i_f), np.asarray(i_r))
+        np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_r), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(feats_f), np.asarray(feats), atol=1e-5)
+        assert s_f.shape == (3, 7)
