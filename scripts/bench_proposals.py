@@ -111,14 +111,14 @@ def main() -> None:
         t["sam2"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        prop = extract_proposals(
+        from freepose_tpu.pipeline.proposals import retrieve_topk
+
+        scores_k, idx_k, _ = retrieve_topk(
             jnp.asarray(frame), jnp.asarray(masks),
-            jnp.asarray(np.asarray(boxes, np.float32)),
-            target_size=d_res, bbox_extend=0.2,
+            jnp.asarray(np.asarray(boxes, np.float32)), bank, fe,
+            layer=layer, feature_type="ffa",
+            k=min(100, bank.shape[0]), target_size=d_res, bbox_extend=0.2,
         )
-        feats = fe(prop.proposals, layer=layer, feature_type="patch")
-        ffa = ffa_pool(normalize_feats(feats), prop.masks, grid=grid)
-        scores_k, idx_k = topk_search(bank, ffa, 100)
         np.asarray(idx_k)
         t["retrieval"] = time.perf_counter() - t0
         return t

@@ -22,8 +22,7 @@ import numpy as np
 
 from freepose_tpu.datasets.bop import BOPDataset
 from freepose_tpu.io.proposals_json import proposal_entry, save_proposals
-from freepose_tpu.ops.knn import fine_rerank_scores, topk_search
-from freepose_tpu.ops.sampling import ffa_pool
+from freepose_tpu.ops.knn import fine_rerank_scores
 from freepose_tpu.pipeline.proposals import extract_proposals, retrieve_topk
 from scripts.common import (
     add_shard_args,
