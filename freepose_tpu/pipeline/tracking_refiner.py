@@ -270,12 +270,28 @@ class TrackingRefiner:
         vis [T, N]) (reference _track_frames, :160-166)."""
         return self.tracker.track(frames, query_points, query_frame)
 
+    @staticmethod
+    def _pnp_context():
+        """EPnP solves on the HOST CPU backend when the session's default
+        platform is an accelerator: the solve is sub-millisecond SVD work on
+        ≤37² points, while its TPU lowering takes tens of minutes to compile
+        (measured: vmapped batch aborted at 15 min). The reference also
+        solves PnP on CPU (cv2.solvePnP, tracking_refiner.py:168-179)."""
+        import contextlib
+
+        if jax.default_backend() in ("tpu", "axon", "gpu"):
+            cpus = jax.local_devices(backend="cpu")
+            if cpus:
+                return jax.default_device(cpus[0])
+        return contextlib.nullcontext()
+
     def compute_pnp(self, image_pts: np.ndarray, object_pts: np.ndarray, valid: np.ndarray, k: jax.Array):
-        pose = epnp(
-            jnp.asarray(object_pts, jnp.float32), jnp.asarray(image_pts, jnp.float32),
-            k, jnp.asarray(valid),
-        )
-        return np.asarray(pose)
+        with self._pnp_context():
+            pose = epnp(
+                jnp.asarray(object_pts, jnp.float32), jnp.asarray(image_pts, jnp.float32),
+                jnp.asarray(np.asarray(k), jnp.float32), jnp.asarray(np.asarray(valid)),
+            )
+            return np.asarray(pose)
 
     def compute_pnp_batch(
         self, image_pts: np.ndarray, object_pts: np.ndarray, valid: np.ndarray, k: jax.Array
@@ -284,11 +300,13 @@ class TrackingRefiner:
         image_pts [T, N, 2] (the CoTracker output), object_pts [N, 3] shared,
         valid [T, N] per-frame visibility -> [T, 4, 4]. Replaces the
         reference's per-frame cv2.solvePnP loop (smooth_poses_video.py:162-192)
-        — per-frame dispatches cost a host round trip each."""
-        return np.asarray(_epnp_batch(
-            jnp.asarray(object_pts, jnp.float32), jnp.asarray(image_pts, jnp.float32),
-            k, jnp.asarray(valid),
-        ))
+        — per-frame dispatches cost a host round trip each. Runs on the host
+        CPU backend under accelerator sessions (see _pnp_context)."""
+        with self._pnp_context():
+            return np.asarray(_epnp_batch(
+                jnp.asarray(object_pts, jnp.float32), jnp.asarray(image_pts, jnp.float32),
+                jnp.asarray(np.asarray(k), jnp.float32), jnp.asarray(np.asarray(valid)),
+            ))
 
     def compute_pnp_or_need_resample(
         self, mesh: TriMesh, photo: jax.Array, tracks: np.ndarray, visibility: np.ndarray,
