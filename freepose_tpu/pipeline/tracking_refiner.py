@@ -211,57 +211,18 @@ class TrackingRefiner:
         mask: jax.Array | None = None, seed: int = 0,
     ):
         """-> (query_points [G², 2] full-image px, surface_points [G², 3]
-        object frame, valid [G²]). Padded to the 37² patch grid."""
+        object frame, valid [G²]). Padded to the 37² patch grid. One fused
+        program (correspondences never read `photo` pixels — the parameter
+        stays for the reference API shape, tracking_refiner.py:132-158)."""
         pts100 = jnp.asarray(mesh.sample_surface(100, seed=42))
-        crop, bbox, new_k = self._crop_and_k(photo, pts100, k, pose)
-        # Shrunk render for valid-patch estimation (reference shrinks the
-        # mesh by 0.8 to bias correspondences inward, :140-143).
-        _, depth_small = self._render(mesh, new_k, pose, scale=0.8)
-        mask37 = resize_area((depth_small > 0).astype(jnp.float32), (GRID, GRID)) > 0.5
-        if mask is not None:
-            crop_mask = roi_align(mask[None].astype(jnp.float32), bbox[None], RES, RES)[0, 0]
-            mask37_crop = resize_area(crop_mask, (GRID, GRID)) > 0.5
-            combined = mask37 & mask37_crop
-            mask37 = jnp.where(jnp.sum(combined) >= 4, combined, mask37)
-
         surf = jnp.asarray(mesh.sample_surface(self.n_surface_samples, seed=seed))
-        cam = surf @ pose[:3, :3].T + pose[:3, 3]
-        uvw = cam @ new_k.T
-        uv = uvw[:, :2] / jnp.maximum(uvw[:, 2:3], 1e-6)
-        patch_xy = jnp.floor(uv / PATCH).astype(jnp.int32)
-        in_grid = (
-            (patch_xy[:, 0] >= 0) & (patch_xy[:, 0] < GRID)
-            & (patch_xy[:, 1] >= 0) & (patch_xy[:, 1] < GRID) & (cam[:, 2] > 1e-4)
+        v, c, f, fv = self._padded(mesh, 0.8)  # reference's 0.8 shrink, :140-143
+        query, surface_points, valid = _correspondences_jit(
+            v, c, f, fv, pts100, surf, jnp.asarray(k, jnp.float32),
+            jnp.asarray(pose, jnp.float32),
+            jnp.zeros((2, 2)) if mask is None else jnp.asarray(mask, jnp.float32),
+            settings=self.settings, has_mask=mask is not None,
         )
-        pid = jnp.where(in_grid, patch_xy[:, 1] * GRID + patch_xy[:, 0], GRID * GRID)
-
-        # Near-centre preference then nearest-to-camera: build a single sort
-        # key (coarse centre-distance bins, depth within a bin) and take the
-        # per-patch argmin via a segment-min over packed keys.
-        center_off = uv / PATCH - jnp.floor(uv / PATCH) - 0.5
-        cdist = jnp.sum(center_off * center_off, axis=-1)  # [N], 0..0.5
-        cbin = jnp.clip((cdist * 16).astype(jnp.int32), 0, 15).astype(jnp.float32)
-        key = cbin * 100.0 + jnp.clip(cam[:, 2], 0.0, 99.0)
-        key = jnp.where(in_grid, key, jnp.inf)
-        order = jnp.argsort(key)  # ascending: best points first
-        pid_sorted = pid[order]
-        # First occurrence of each patch id in the sorted order = winner.
-        seg_min_pos = jnp.full((GRID * GRID + 1,), surf.shape[0], jnp.int32)
-        positions = jnp.arange(surf.shape[0], dtype=jnp.int32)
-        seg_min_pos = seg_min_pos.at[pid_sorted].min(positions)
-        winner_sorted_pos = seg_min_pos[: GRID * GRID]  # [G²]
-        has_point = winner_sorted_pos < surf.shape[0]
-        winner_idx = order[jnp.clip(winner_sorted_pos, 0, surf.shape[0] - 1)]
-
-        surface_points = surf[winner_idx]
-        valid = has_point & mask37.reshape(-1)
-
-        # Patch centres back to full-image pixels (reference :154-158).
-        gx = jnp.arange(GRID * GRID) % GRID
-        gy = jnp.arange(GRID * GRID) // GRID
-        pts_crop = jnp.stack([gx, gy], axis=-1).astype(jnp.float32) * PATCH + PATCH * 0.5
-        x1, y1, x2, y2 = bbox
-        query = pts_crop / RES * jnp.stack([x2 - x1, y2 - y1]) + jnp.stack([x1, y1])
         return np.asarray(query), np.asarray(surface_points), np.asarray(valid)
 
     # ---------------------------------------------------------------- #
@@ -373,3 +334,59 @@ def _confidence_batch_fused(
     feats = normalize_feats(_extract_jit.__wrapped__(extractor, fe_params, imgs, layer, "patch"))
     cos = jnp.sum(feats[:b] * feats[b:], axis=-1).reshape(b, GRID, GRID)
     return cos * mask37
+
+
+@partial(jax.jit, static_argnames=("settings", "has_mask"))
+def _correspondences_jit(
+    v, c, f, fv, pts100, surf, k, pose, mask, settings, has_mask
+):
+    """Fused 2D-3D correspondence generation: crop-bbox + shrunk render +
+    projection + near-centre/nearest-to-camera patch binning, one program."""
+    bbox = crop_bbox_around_projection(pose[None], pts100, k, RES, RES, lamb=1.4)[0]
+    new_k = update_k_with_crop(k, bbox[None], RES, RES)[0]
+    _, depth_small = rasterize(v, c, f, fv, pose[None], new_k, settings)
+    mask37 = resize_area((depth_small[0] > 0).astype(jnp.float32), (GRID, GRID)) > 0.5
+    if has_mask:
+        crop_mask = roi_align(mask[None], bbox[None], RES, RES)[0, 0]
+        mask37_crop = resize_area(crop_mask, (GRID, GRID)) > 0.5
+        combined = mask37 & mask37_crop
+        mask37 = jnp.where(jnp.sum(combined) >= 4, combined, mask37)
+
+    cam = surf @ pose[:3, :3].T + pose[:3, 3]
+    uvw = cam @ new_k.T
+    uv = uvw[:, :2] / jnp.maximum(uvw[:, 2:3], 1e-6)
+    patch_xy = jnp.floor(uv / PATCH).astype(jnp.int32)
+    in_grid = (
+        (patch_xy[:, 0] >= 0) & (patch_xy[:, 0] < GRID)
+        & (patch_xy[:, 1] >= 0) & (patch_xy[:, 1] < GRID) & (cam[:, 2] > 1e-4)
+    )
+    pid = jnp.where(in_grid, patch_xy[:, 1] * GRID + patch_xy[:, 0], GRID * GRID)
+
+    # Near-centre preference then nearest-to-camera: single sort key
+    # (coarse centre-distance bins, depth within a bin), per-patch argmin via
+    # segment-min over packed keys.
+    center_off = uv / PATCH - jnp.floor(uv / PATCH) - 0.5
+    cdist = jnp.sum(center_off * center_off, axis=-1)  # [N], 0..0.5
+    cbin = jnp.clip((cdist * 16).astype(jnp.int32), 0, 15).astype(jnp.float32)
+    key = cbin * 100.0 + jnp.clip(cam[:, 2], 0.0, 99.0)
+    key = jnp.where(in_grid, key, jnp.inf)
+    order = jnp.argsort(key)  # ascending: best points first
+    pid_sorted = pid[order]
+    # First occurrence of each patch id in the sorted order = winner.
+    seg_min_pos = jnp.full((GRID * GRID + 1,), surf.shape[0], jnp.int32)
+    positions = jnp.arange(surf.shape[0], dtype=jnp.int32)
+    seg_min_pos = seg_min_pos.at[pid_sorted].min(positions)
+    winner_sorted_pos = seg_min_pos[: GRID * GRID]  # [G²]
+    has_point = winner_sorted_pos < surf.shape[0]
+    winner_idx = order[jnp.clip(winner_sorted_pos, 0, surf.shape[0] - 1)]
+
+    surface_points = surf[winner_idx]
+    valid = has_point & mask37.reshape(-1)
+
+    # Patch centres back to full-image pixels (reference :154-158).
+    gx = jnp.arange(GRID * GRID) % GRID
+    gy = jnp.arange(GRID * GRID) // GRID
+    pts_crop = jnp.stack([gx, gy], axis=-1).astype(jnp.float32) * PATCH + PATCH * 0.5
+    x1, y1, x2, y2 = bbox
+    query = pts_crop / RES * jnp.stack([x2 - x1, y2 - y1]) + jnp.stack([x1, y1])
+    return query, surface_points, valid
