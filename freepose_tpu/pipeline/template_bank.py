@@ -127,20 +127,30 @@ class TemplateBank:
     def _save_disk(self, pack: TemplatePack) -> None:
         path = self._disk_path(pack.name)
         if path and not path.exists():
+            # Atomic publish: write to a per-process temp name, then rename.
+            # Concurrent shard workers (the reference flock-guards its .pth
+            # cache, pose_estimator.py:44-48) only ever see complete files.
+            import os
+
+            tmp = path.with_suffix(f".{os.getpid()}.tmp.npz")  # savez keeps .npz names
             np.savez(
-                path,
+                tmp,
                 feats=np.asarray(pack.feats, dtype=np.float16),
                 pc_min=np.asarray(pack.pc_min),
                 pc_max=np.asarray(pack.pc_max),
                 pc_mean=np.asarray(pack.pc_mean),
                 poses=np.asarray(pack.poses),
             )
+            os.replace(tmp, path)
 
     def _load_disk(self, name: str) -> TemplatePack | None:
         path = self._disk_path(name)
         if not path or not path.exists():
             return None
-        z = np.load(path)
+        try:
+            z = np.load(path)
+        except Exception:  # truncated/corrupt cache entry -> rebuild
+            return None
         return TemplatePack(
             name,
             jnp.asarray(z["feats"].astype(np.float32)),
