@@ -139,10 +139,12 @@ class FineViewCache:
         return np.asarray([self.slot_of[int(i)] for i in indices], np.int32)
 
 
-def bucket_size(m: int, n_neighbors: int, buckets=(4, 8, 16)) -> int:
-    """Static miss-batch sizes: one compiled update variant per bucket."""
+def bucket_size(m: int, n_neighbors: int, buckets=(4, 8, 16), multiple: int = 1) -> int:
+    """Static miss-batch sizes: one compiled update variant per bucket.
+    `multiple` (the shard-axis device count when the miss work is sharded)
+    filters buckets so every device gets an equal slice."""
     for b in buckets:
-        if m <= b < n_neighbors:
+        if m <= b < n_neighbors and b % multiple == 0:
             return b
     return n_neighbors
 
@@ -151,7 +153,7 @@ def bucket_size(m: int, n_neighbors: int, buckets=(4, 8, 16)) -> int:
     jax.jit,
     static_argnames=(
         "extractor", "layer", "settings", "pose_chunk", "resolution",
-        "mask_scores", "rendering_scale",
+        "mask_scores", "rendering_scale", "device_mesh", "shard_axis",
     ),
     donate_argnums=(0, 1, 2),
 )
@@ -172,14 +174,20 @@ def cached_refine_update(
     est_scale,
     *,
     extractor, layer, settings, pose_chunk, resolution, mask_scores,
-    rendering_scale,
+    rendering_scale, device_mesh=None, shard_axis="model",
 ):
     """Miss path, ONE dispatch: render M missing views, featurize them
     together with the query crop, scatter into the cache, gather the
     neighbourhood, rescore, z-lift. Returns updated buffers (donated) +
     (tcos, score, local_idx, query_feat). Pose gathers happen in-program so
     the host only ships index vectors (the fine grid itself is a stable
-    device buffer — no per-frame transfer)."""
+    device buffer — no per-frame transfer).
+
+    With `device_mesh`, the miss-batch render + featurize shard_maps over
+    `shard_axis` (M must divide the axis size — see bucket_size(multiple=));
+    the cache buffers stay replicated, so the scatter/gather/rescore epilogue
+    is identical on every chip. This composes the cache's cross-frame reuse
+    with multi-chip latency scaling of the cold work."""
     from freepose_tpu.models.dinov2 import _extract_jit
     from freepose_tpu.ops.rasterizer import render_meshes
     from freepose_tpu.pipeline.renderer import _generate_proposals_jit
@@ -187,21 +195,51 @@ def cached_refine_update(
 
     new_poses = fine_poses[new_idx]
     sel_poses = fine_poses[sel_idx]
-    rgb, depth = render_meshes(
-        v, c, f, fv, new_poses, k_render, settings, pose_chunk=pose_chunk
-    )
-    props, rmasks, _ = _generate_proposals_jit.__wrapped__(
-        rgb, depth, resolution, resolution
-    )
-    batch = jnp.concatenate([proposal[None].astype(props.dtype), props])
-    feats = normalize_feats(
-        _extract_jit.__wrapped__(extractor, fe_params, batch, layer, "patch")
-    )
-    qf = feats[0]
-    smin, smax, smean = depth_stats.__wrapped__(depth, k_render)
-    feats_buf = feats_buf.at[write_slots].set(feats[1:].astype(feats_buf.dtype))
+
+    if device_mesh is None:
+        rgb, depth = render_meshes(
+            v, c, f, fv, new_poses, k_render, settings, pose_chunk=pose_chunk
+        )
+        props, rmasks, _ = _generate_proposals_jit.__wrapped__(
+            rgb, depth, resolution, resolution
+        )
+        batch = jnp.concatenate([proposal[None].astype(props.dtype), props])
+        feats = normalize_feats(
+            _extract_jit.__wrapped__(extractor, fe_params, batch, layer, "patch")
+        )
+        qf = feats[0]
+        new_feats = feats[1:]
+        smin, smax, smean = depth_stats.__wrapped__(depth, k_render)
+        new_stats = jnp.stack([smin, smax, smean], axis=1)
+    else:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def local(poses_local, v, c, f, fv, k_render, fe_params):
+            rgb, depth = render_meshes(
+                v, c, f, fv, poses_local, k_render, settings, pose_chunk=pose_chunk
+            )
+            props, rmasks, _ = _generate_proposals_jit.__wrapped__(
+                rgb, depth, resolution, resolution
+            )
+            fl = normalize_feats(
+                _extract_jit.__wrapped__(extractor, fe_params, props, layer, "patch")
+            )
+            smin, smax, smean = depth_stats.__wrapped__(depth, k_render)
+            return fl, rmasks, jnp.stack([smin, smax, smean], axis=1)
+
+        sh, rep = P(shard_axis), P()
+        new_feats, rmasks, new_stats = shard_map(
+            local, mesh=device_mesh,
+            in_specs=(sh, rep, rep, rep, rep, rep, rep),
+            out_specs=(sh, sh, sh),
+        )(new_poses, v, c, f, fv, k_render, fe_params)
+        qf = normalize_feats(
+            _extract_jit.__wrapped__(extractor, fe_params, proposal[None], layer, "patch")
+        )[0]
+    feats_buf = feats_buf.at[write_slots].set(new_feats.astype(feats_buf.dtype))
     masks_buf = masks_buf.at[write_slots].set(rmasks)
-    stats_buf = stats_buf.at[write_slots].set(jnp.stack([smin, smax, smean], axis=1))
+    stats_buf = stats_buf.at[write_slots].set(new_stats)
 
     tcos, score, local = _gather_rescore_lift(
         feats_buf, masks_buf, stats_buf, qf, gather_slots, valid, sel_poses,

@@ -103,9 +103,12 @@ class OnlinePoseEstimator:
         dispatch.
 
         `shard_mesh` (a jax.sharding.Mesh with a "model" axis; requires
-        `extractor`, exclusive with the fine cache) fans each frame's
-        neighbor renders + feature batches over the mesh — multi-chip
-        latency scaling (see refine_sharded)."""
+        `extractor`) fans per-frame neighbor renders + feature batches over
+        the mesh — multi-chip latency scaling. It COMPOSES with the fine
+        cache: cache buffers replicate over the mesh and only each miss
+        batch's cold work shards (see fine_cache.cached_refine_update);
+        without the cache, the full neighborhood shards every frame
+        (refine_sharded)."""
         self.coarse = CoarsePoseEstimator(feature_fn, bank, n_poses=n_coarse_poses)
         self.feature_fn = feature_fn
         self.renderer = renderer or bank.renderer
@@ -126,10 +129,15 @@ class OnlinePoseEstimator:
         if shard_mesh is not None and extractor is None:
             raise ValueError("shard_mesh requires `extractor`")
         if shard_mesh is not None and fine_cache_capacity:
-            raise ValueError(
-                "shard_mesh and fine_cache_capacity are exclusive (the cache "
-                "keeps per-view state on one chip)"
-            )
+            # Composition: cache buffers replicate over the mesh; each miss
+            # batch's render+featurize shards over the "model" axis (see
+            # fine_cache.cached_refine_update). Miss buckets must divide the
+            # axis, so they start at the device count.
+            if n_neighbors % shard_mesh.shape["model"]:
+                raise ValueError(
+                    f"n_neighbors ({n_neighbors}) must divide evenly over the "
+                    f"'model' mesh axis ({shard_mesh.shape['model']} devices)"
+                )
         self.shard_mesh = shard_mesh
         # Extra views pre-cached per miss frame by rounding the miss batch up
         # a bucket, filled with predictively-ordered prefetch. Measured at
@@ -366,9 +374,10 @@ class OnlinePoseEstimator:
             # once); bigger batches just amortize dispatch overhead better.
             # Prefetch is capped so evictions always find a victim outside
             # the protected neighbourhood (see FineViewCache.assign_slots).
+            n_dev = self.shard_mesh.shape["model"] if self.shard_mesh is not None else 1
             max_prefetch = cache.capacity - self.n_neighbors
             target = len(missing) + min(self.prefetch_quota, max_prefetch)
-            m_b = bucket_size(min(target, self.n_neighbors), self.n_neighbors)
+            m_b = bucket_size(min(target, self.n_neighbors), self.n_neighbors, multiple=n_dev)
             pad = m_b - len(missing)
             if pad > 0:
                 prefetch = cache.missing(near_extra)[: min(pad, max_prefetch)]
@@ -395,6 +404,7 @@ class OnlinePoseEstimator:
                 kq, bboxq, scaleq,
                 settings=self.renderer.settings,
                 pose_chunk=self.renderer.pose_chunk,
+                device_mesh=self.shard_mesh,
                 **common,
             )
         else:

@@ -58,9 +58,10 @@ def main() -> None:
     )
     ap.add_argument(
         "--shard-refine", action="store_true",
-        help="fan each frame's neighbor renders + feature batches over all "
-        "devices (multi-chip latency scaling; disables the fine-view cache, "
-        "whose per-view state lives on one chip)",
+        help="fan refine work over all devices (multi-chip latency scaling). "
+        "Composes with the fine-view cache: cache buffers replicate over the "
+        "mesh and each miss batch's cold render+feature work shards; with "
+        "--fine-cache 0, the full neighborhood shards every frame",
     )
     args = ap.parse_args()
 
@@ -84,10 +85,7 @@ def main() -> None:
         feature_fn, bank, renderer, n_coarse_poses=args.n_coarse,
         n_fine_poses=args.n_fine, n_neighbors=args.n_neighbors,
         extractor=extractor, feature_layer=args.layer,  # fused refine-prepare
-        fine_cache_capacity=(
-            0 if args.shard_refine
-            else max(args.fine_cache, args.n_neighbors) if args.fine_cache else 0
-        ),
+        fine_cache_capacity=max(args.fine_cache, args.n_neighbors) if args.fine_cache else 0,
         shard_mesh=shard_mesh,
     )
 

@@ -208,3 +208,12 @@ def test_video_inference_shard_refine_matches(video_ws):
     for a, b in zip(single, sharded):
         np.testing.assert_allclose(a.R, b.R, atol=1e-4)
         np.testing.assert_allclose(a.t, b.t, atol=1e-4)
+    # Composed mode: fine cache + sharding together (cache buffers replicate,
+    # miss batches shard) must also reproduce the same track.
+    composed = [a for a in common if a != "--fine-cache"]
+    composed.remove("0")
+    _run([*composed, "--out", str(ws / "vid-composed.csv"), "--shard-refine"])
+    comp = read_results_csv(ws / "vid-composed.csv", t_scale=1.0)
+    for a, b in zip(single, comp):
+        np.testing.assert_allclose(a.R, b.R, atol=1e-4)
+        np.testing.assert_allclose(a.t, b.t, atol=1e-4)

@@ -222,3 +222,43 @@ def test_predictive_prefetch_reduces_miss_frames(setup):
         assert i1 == i2
         np.testing.assert_allclose(t1, t2, atol=1e-5)
     assert miss_pf <= miss_np
+
+
+def test_cached_refine_sharded_composes(setup):
+    """fine cache + shard_mesh: miss-batch cold work fans over the 8-device
+    mesh (buffers replicated); the track must match the single-device cached
+    path, including evictions and the all-hit frames."""
+    import jax
+    from freepose_tpu.parallel.mesh import make_mesh
+
+    renderer, bank, mk = setup
+    fe = DinoFeatureExtractor(CFG)
+    feature_fn = lambda imgs: fe(imgs, layer=2, feature_type="patch")
+    dev_mesh = make_mesh(data=1, model=len(jax.devices()))
+    est_c = OnlinePoseEstimator(
+        feature_fn, bank, renderer, n_coarse_poses=16, n_fine_poses=200,
+        n_neighbors=8, extractor=fe, feature_layer=2, fine_cache_capacity=12,
+    )
+    est_s = OnlinePoseEstimator(
+        feature_fn, bank, renderer, n_coarse_poses=16, n_fine_poses=200,
+        n_neighbors=8, extractor=fe, feature_layer=2, fine_cache_capacity=12,
+        shard_mesh=dev_mesh,
+    )
+    mesh = _mesh()
+    pack = bank.get("blob-fcs", mesh)
+    fp = np.asarray(est_c.fine_poses)
+    traj = [5, 6, 5, 120, 121, 5, 60]
+    for t, gi in enumerate(traj):
+        prev = jnp.asarray(fp[gi])
+        gt = jnp.asarray(fp[(gi + 1) % len(fp)])
+        rgb, depth = renderer.render_from_poses(mesh, gt[None])
+        props, masks, boxes = renderer.generate_proposals(rgb, depth)
+        args = dict(
+            k=renderer.k, bbox=boxes[0].astype(jnp.float32), est_scale=0.25,
+            neighborhood_deg=40.0, mask_scores=(t % 2 == 1),
+        )
+        o_c = est_c.estimate(props[0], masks[0], pack, mesh, prev_pose=prev, **args)
+        o_s = est_s.estimate(props[0], masks[0], pack, mesh, prev_pose=prev, **args)
+        assert int(o_c.view_indices) == int(o_s.view_indices), f"frame {t}"
+        np.testing.assert_allclose(np.asarray(o_s.tcos), np.asarray(o_c.tcos), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(o_s.scores), np.asarray(o_c.scores), atol=1e-5)
