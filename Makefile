@@ -2,7 +2,7 @@
 # override it (see tests/conftest.py and .claude/skills/verify/SKILL.md).
 CPU_ENV = env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu
 
-.PHONY: test bench native clean
+.PHONY: test bench native dryrun clean
 
 test:
 	python -m pytest tests/ -q
