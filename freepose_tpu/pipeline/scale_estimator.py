@@ -121,7 +121,8 @@ class ClipPriorScaleEstimator:
         img = proposals.proposals  # [N, 3, T, T]
         feats = self.clip.encode_image(img)
         feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
-        prior_scales = knn_median_lookup(self.text_features, self.scales, feats, self.query_k)
+        k_eff = min(self.query_k, len(self.scales))  # tiny priors: clamp k
+        prior_scales = knn_median_lookup(self.text_features, self.scales, feats, k_eff)
         prior_scales = np.asarray(prior_scales)
         if use_depth:
             d_scales = np.asarray(

@@ -186,6 +186,62 @@ def test_video_proposals_cli_runs(video_ws):
         assert p["mesh"] in {"m0", "m1", "m2", "blobmesh"}
 
 
+def test_compute_scale_video_cli(video_ws):
+    """compute_scale_video: CLIP-kNN over an LLM scale prior -> per-proposal
+    'scale' field (constant per track, reference compute_scale_video.py
+    89-95 median-over-frames)."""
+    ws = video_ws
+    (ws / "prior.json").write_text(json.dumps({
+        "a mug": 0.05, "a bowl": 0.08, "a pitcher": 0.12, "a toy car": 0.04,
+        "a ball": 0.1, "a cup": 0.06,
+    }))
+    _run([
+        "scripts.compute_scale_video", "--video-dir", str(ws / "frames"),
+        "--proposals", str(ws / "props.json"), "--scale-file", str(ws / "prior.json"),
+        "--out", str(ws / "props_scaled.json"),
+    ])
+    out = json.loads((ws / "props_scaled.json").read_text())
+    assert len(out) == 5
+    scales = {p["scale"] for p in out}
+    assert len(scales) == 1, "video scale must be constant per track"
+    s = next(iter(scales))
+    assert 0.01 <= s <= 0.2, s  # within the prior's range
+
+
+def test_vis_poses_video_cli(video_ws):
+    """vis_poses_video: pose overlays render for every frame of a track."""
+    ws = video_ws
+    from freepose_tpu.io.bop_csv import PoseResult, write_results_csv
+    from scipy.spatial.transform import Rotation as Rot
+
+    results = []
+    for t in range(5):
+        R = Rot.from_rotvec([0, 0.06 * t, 0.02 * t]).as_matrix()
+        results.append(PoseResult(
+            scene_id=0, im_id=t, obj_id="blobmesh", score=0.9, R=R,
+            t=np.array([0.02 * t - 0.02, 0.0, 1.2]),
+            bbox_visib=np.array([0, 0, 10, 10]), scale=0.12, time=0.01,
+        ))
+    write_results_csv(results, ws / "gtposes.csv", t_scale=1.0)
+    _run([
+        "scripts.vis_poses_video", "--video-dir", str(ws / "frames"),
+        "--poses", str(ws / "gtposes.csv"), "--mesh-dir", str(ws / "meshes"),
+        "--out-dir", str(ws / "overlays"), "--render-size", "160",
+    ])
+    outs = list((ws / "overlays").glob("*"))
+    assert len(outs) == 5
+
+
+def test_vis_features_cli(video_ws):
+    """vis_features: PCA feature panels for input images."""
+    ws = video_ws
+    _run([
+        "scripts.vis_features", "--images", str(ws / "frames" / "000000.png"),
+        "--out", str(ws / "feat_panel.png"), "--model", "vitb", "--layer", "2",
+    ])
+    assert (ws / "feat_panel.png").exists()
+
+
 def test_video_inference_shard_refine_matches(video_ws):
     """--shard-refine (neighbor fan-out over the 8-device mesh) produces the
     same track as the default single-device path (the fine cache is disabled
