@@ -234,3 +234,21 @@ def test_convert_weights_cli_roundtrip(tmp_path):
         ref = hf(torch.tensor(img)).last_hidden_state.numpy()
     ours = np.asarray(DinoV2(VIT_TEST).apply({"params": params}, jnp.asarray(img)))
     np.testing.assert_allclose(ours, ref, atol=3e-4)
+
+
+def test_cli_compute_scale(workspace):
+    """compute_scale: CLIP-kNN LLM-prior scales land in the proposal JSON."""
+    import json
+
+    ws = workspace
+    (ws / "prior.json").write_text(json.dumps({
+        "a mug": 0.05, "a bowl": 0.08, "a pitcher": 0.12, "a toy car": 0.04,
+    }))
+    _run([
+        "scripts.compute_scale", "--dataset", str(ws / "bop"), "--split", "test",
+        "--proposals", str(ws / "props.json"), "--scale-file", str(ws / "prior.json"),
+        "--out", str(ws / "props_scaled2.json"),
+    ])
+    out = json.loads((ws / "props_scaled2.json").read_text())
+    assert out and all("scale" in p for p in out)
+    assert all(0.01 <= p["scale"] <= 0.2 for p in out)
