@@ -252,3 +252,22 @@ def test_cli_compute_scale(workspace):
     out = json.loads((ws / "props_scaled2.json").read_text())
     assert out and all("scale" in p for p in out)
     assert all(0.01 <= p["scale"] <= 0.2 for p in out)
+
+
+def test_cli_generate_depth_zoe(workspace):
+    """generate_depth_zoe: 16-bit normalized depth PNGs land next to rgb
+    (reference generate_depth_zoe.py:14-31 layout)."""
+    from pathlib import Path
+
+    import numpy as np
+    from PIL import Image
+
+    ws = workspace
+    _run([
+        "scripts.generate_depth_zoe", "--dataset", str(ws / "bop"), "--split", "test",
+    ])
+    scene = next((ws / "bop" / "test").iterdir())
+    preds = sorted((scene / "depth_pred").glob("*"))
+    assert preds, "expected predicted depth PNGs"
+    d = np.asarray(Image.open(preds[0]))
+    assert d.dtype == np.uint16 and d.ndim == 2
