@@ -201,3 +201,17 @@ def test_retrieve_topk_fused_matches_op_sequence():
         np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_r), atol=1e-5)
         np.testing.assert_allclose(np.asarray(feats_f), np.asarray(feats), atol=1e-5)
         assert s_f.shape == (3, 7)
+
+
+def test_roi_align_randomized_sweep():
+    """Randomized boxes (including degenerate and far out-of-bounds) against
+    the per-tap oracle — guards the separable reformulation broadly."""
+    rng = np.random.default_rng(11)
+    img = rng.random((2, 29, 37)).astype(np.float32)
+    for trial in range(10):
+        x1, y1 = rng.uniform(-20, 30, 2)
+        w, h = rng.uniform(0.01, 60, 2)
+        boxes = np.array([[x1, y1, x1 + w, y1 + h]], np.float32)
+        ours = np.asarray(roi_align(jnp.asarray(img), jnp.asarray(boxes), 5, 6, sampling_ratio=2))
+        ref = _roi_align_oracle(img, boxes, 5, 6, s=2)
+        np.testing.assert_allclose(ours, ref, atol=1e-4, err_msg=f"trial {trial} box {boxes}")
