@@ -279,6 +279,53 @@ def cached_refine_hit(
     return tcos, score, local, qf
 
 
+@partial(
+    jax.jit,
+    static_argnames=("extractor", "layer", "resolution", "mask_scores", "rendering_scale"),
+)
+def cached_refine_hit_multi(
+    feats_bufs,  # tuple of M [C+1, G², D] cache buffers (NOT stacked: each is
+    masks_bufs,  # hundreds of MB — stacking per frame would copy them all)
+    stats_bufs,
+    fine_poses,
+    fe_params,
+    proposals,  # [M, 3, R, R] query crops, one per tracked object
+    gather_slots,  # [M, N] int32
+    valid,  # [M, N] bool
+    sel_idx,  # [M, N] int32
+    proposal_masks,  # [M, R, R] bool
+    ks,  # [M, 3, 3]
+    bboxes,  # [M, 4]
+    est_scales,  # [M]
+    *, extractor, layer, resolution, mask_scores, rendering_scale,
+):
+    """Multi-object all-hit path, ONE dispatch for a whole frame: the M query
+    crops featurize as a single ViT batch (the dominant hit-path cost), then
+    each object's neighbourhood gathers from its own cache buffers and
+    rescores. Per-frame serial refine of co-tracked objects was the reference
+    pattern (dino_inference_video.py:144 loops objects); here M objects cost
+    ~one object's dispatch."""
+    from freepose_tpu.models.dinov2 import _extract_jit
+    from freepose_tpu.pipeline.template_bank import normalize_feats
+
+    qf = normalize_feats(
+        _extract_jit.__wrapped__(extractor, fe_params, proposals, layer, "patch")
+    )  # [M, G², D]
+    tcos, scores, locals_ = [], [], []
+    for i in range(len(feats_bufs)):
+        t, s, l = _gather_rescore_lift(
+            feats_bufs[i], masks_bufs[i], stats_bufs[i], qf[i],
+            gather_slots[i], valid[i], fine_poses[sel_idx[i]],
+            proposal_masks[i], ks[i], bboxes[i], est_scales[i],
+            resolution=resolution, patch_size=extractor.config.patch_size,
+            mask_scores=mask_scores, rendering_scale=rendering_scale,
+        )
+        tcos.append(t)
+        scores.append(s)
+        locals_.append(l)
+    return jnp.stack(tcos), jnp.stack(scores), jnp.stack(locals_), qf
+
+
 def _gather_rescore_lift(
     feats_buf, masks_buf, stats_buf, qf, gather_slots, valid, sel_poses,
     proposal_mask, k, bbox, est_scale, *, resolution, patch_size, mask_scores,

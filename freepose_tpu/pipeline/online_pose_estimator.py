@@ -201,6 +201,91 @@ class OnlinePoseEstimator:
             neighborhood_deg, mask_scores,
         )
 
+    def estimate_frame(
+        self,
+        objects: list[dict],
+        neighborhood_deg: float = 15.0,
+        mask_scores: bool = False,
+    ) -> list[PoseEstimate]:
+        """Batched per-frame refine of M co-tracked objects.
+
+        Each entry of `objects` is a dict with keys `proposal` [3,R,R],
+        `proposal_mask` [R,R], `pack`, `mesh`, `k`, `bbox`, `est_scale`,
+        `prev_pose` (None -> coarse frame-0 path) and optional `cache_key`.
+        Objects whose neighbourhood is fully cached share ONE fused dispatch
+        (fine_cache.cached_refine_hit_multi: their query crops featurize as a
+        single ViT batch); coarse and cache-miss objects take their usual
+        per-object paths. The reference refines objects serially per frame
+        (dino_inference_video.py:144); results here are identical to calling
+        estimate() per object (parity-tested), M hit objects cost ~one
+        object's dispatch. Requires the fine-view cache."""
+        if not self.fine_cache_capacity:
+            raise ValueError("estimate_frame requires fine_cache_capacity > 0")
+        from freepose_tpu.pipeline.fine_cache import (
+            cached_refine_hit_multi, select_neighborhood_host,
+        )
+
+        results: list[PoseEstimate | None] = [None] * len(objects)
+        hits: list[tuple[int, dict, object, np.ndarray, np.ndarray]] = []
+        seen_keys: set = set()
+        for pos, o in enumerate(objects):
+            key = o.get("cache_key", o["pack"].name)
+            cache = self._fine_caches.get(key)
+            miss = True
+            # Two objects sharing a cache key (same mesh id) must stay
+            # serial: a later same-key miss could evict a classified hit's
+            # slots before the fused gather runs.
+            share = key in seen_keys
+            seen_keys.add(key)
+            if not share and o.get("prev_pose") is not None and cache is not None:
+                prev = np.asarray(o["prev_pose"])
+                sel_idx, valid = select_neighborhood_host(
+                    self._fine_rots_np, prev[:3, :3], neighborhood_deg,
+                    self.n_neighbors,
+                )
+                if not cache.missing(sel_idx):
+                    # Hit: do the bookkeeping refine_cached would have done.
+                    self._last_prev_rot[key] = prev[:3, :3]
+                    cache.touch(sel_idx)
+                    hits.append((pos, o, cache, sel_idx, valid))
+                    miss = False
+            if miss:
+                results[pos] = self.estimate(
+                    o["proposal"], o["proposal_mask"], o["pack"], o["mesh"],
+                    o["k"], o["bbox"], o["est_scale"],
+                    prev_pose=o.get("prev_pose"),
+                    neighborhood_deg=neighborhood_deg, mask_scores=mask_scores,
+                )
+
+        if hits:
+            common = dict(
+                extractor=self.extractor, layer=self.feature_layer,
+                resolution=self.renderer.resolution, mask_scores=mask_scores,
+                rendering_scale=self.rendering_scale,
+            )
+            sel_arr = np.stack([h[3] for h in hits])
+            tcos, scores, local, qf = cached_refine_hit_multi(
+                tuple(h[2].feats for h in hits),
+                tuple(h[2].masks for h in hits),
+                tuple(h[2].stats for h in hits),
+                self.fine_poses,
+                self.extractor.params,
+                jnp.stack([jnp.asarray(h[1]["proposal"]) for h in hits]),
+                jnp.asarray(np.stack([h[2].gather_slots(h[3]) for h in hits])),
+                jnp.asarray(np.stack([h[4] for h in hits])),
+                jnp.asarray(sel_arr),
+                jnp.stack([jnp.asarray(h[1]["proposal_mask"]) for h in hits]),
+                jnp.stack([jnp.asarray(h[1]["k"], jnp.float32) for h in hits]),
+                jnp.stack([jnp.asarray(h[1]["bbox"], jnp.float32) for h in hits]),
+                jnp.stack([jnp.asarray(h[1]["est_scale"], jnp.float32) for h in hits]),
+                **common,
+            )
+            for j, (pos, _, _, _, _) in enumerate(hits):
+                results[pos] = PoseEstimate(
+                    tcos[j], scores[j], jnp.asarray(sel_arr[j])[local[j]], qf[j]
+                )
+        return results
+
     def refine(
         self,
         query_feat: jax.Array,

@@ -1,0 +1,142 @@
+"""Multi-object batched refine: estimate_frame == serial per-object estimate.
+
+The reference refines co-tracked objects serially per frame
+(dino_inference_video.py:144); estimate_frame fuses all cache-hit objects of
+a frame into one dispatch. Parity must be exact across coarse / miss / hit /
+mixed frames.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from freepose_tpu.io.mesh import TriMesh
+from freepose_tpu.models.dinov2 import DinoFeatureExtractor, DinoV2Config
+from freepose_tpu.ops.rasterizer import RasterSettings
+from freepose_tpu.pipeline import fine_cache
+from freepose_tpu.pipeline.online_pose_estimator import OnlinePoseEstimator
+from freepose_tpu.pipeline.renderer import TemplateRenderer
+from freepose_tpu.pipeline.template_bank import TemplateBank
+
+RES = 84
+CFG = DinoV2Config(hidden_size=32, num_layers=2, num_heads=2, patch_size=14, image_size=56)
+
+
+def _mesh(seed: int) -> TriMesh:
+    rng = np.random.default_rng(seed)
+    n_lat, n_lon = 10, 14
+    verts, faces = [], []
+    for i in range(n_lat + 1):
+        th = np.pi * i / n_lat
+        for j in range(n_lon):
+            ph = 2 * np.pi * j / n_lon
+            r = 1.0 + 0.2 * np.sin((2 + seed % 2) * ph) * np.sin(2 * th)
+            verts.append([r * np.sin(th) * np.cos(ph), r * np.sin(th) * np.sin(ph), r * np.cos(th)])
+    for i in range(n_lat):
+        for j in range(n_lon):
+            a = i * n_lon + j
+            b = i * n_lon + (j + 1) % n_lon
+            c = (i + 1) * n_lon + j
+            d = (i + 1) * n_lon + (j + 1) % n_lon
+            faces.append([a, b, c])
+            faces.append([b, d, c])
+    v = np.asarray(verts, np.float32)
+    return TriMesh(v, np.asarray(faces, np.int32), rng.random((len(v), 3)).astype(np.float32))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    fe = DinoFeatureExtractor(CFG)
+    feature_fn = lambda imgs: fe(imgs, layer=2, feature_type="patch")
+    renderer = TemplateRenderer(
+        n_poses=16, resolution=RES, max_vertices=256, max_faces=512,
+        settings=RasterSettings(resolution=RES, tile=28, max_faces_per_tile=128),
+    )
+    bank = TemplateBank(feature_fn, renderer, cache_size=4)
+    mk = lambda: OnlinePoseEstimator(
+        feature_fn, bank, renderer, n_coarse_poses=16, n_fine_poses=200,
+        n_neighbors=8, extractor=fe, feature_layer=2, fine_cache_capacity=16,
+    )
+    return renderer, bank, mk
+
+
+def test_estimate_frame_matches_serial(setup, monkeypatch):
+    renderer, bank, mk = setup
+    est_serial = mk()
+    est_batch = mk()
+    meshes = [_mesh(0), _mesh(1)]
+    packs = [bank.get(f"mo-{i}", m) for i, m in enumerate(meshes)]
+    fp = np.asarray(est_serial.fine_poses)
+
+    multi_calls = {"n": 0}
+    orig = fine_cache.cached_refine_hit_multi
+
+    def counting(*a, **kw):
+        multi_calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(fine_cache, "cached_refine_hit_multi", counting)
+
+    # Per-object grid trajectories: obj0 lingers (hits), obj1 jumps (misses).
+    trajs = [[5, 5, 6, 5, 6], [120, 121, 40, 41, 40]]
+    prev_s = [None, None]
+    prev_b = [None, None]
+    for t in range(len(trajs[0])):
+        objs_s, objs_b = [], []
+        for i in range(2):
+            gi = trajs[i][t]
+            gt = jnp.asarray(fp[(gi + 1) % len(fp)])
+            rgb, depth = renderer.render_from_poses(meshes[i], gt[None])
+            props, masks, boxes = renderer.generate_proposals(rgb, depth)
+            o = dict(
+                proposal=props[0], proposal_mask=masks[0], pack=packs[i],
+                mesh=meshes[i], k=renderer.k,
+                bbox=boxes[0].astype(jnp.float32), est_scale=0.25,
+            )
+            objs_s.append(dict(o, prev_pose=prev_s[i]))
+            objs_b.append(dict(o, prev_pose=prev_b[i]))
+
+        outs_s = [
+            est_serial.estimate(
+                o["proposal"], o["proposal_mask"], o["pack"], o["mesh"],
+                o["k"], o["bbox"], o["est_scale"], prev_pose=o["prev_pose"],
+                neighborhood_deg=40.0, mask_scores=(t % 2 == 1),
+            )
+            for o in objs_s
+        ]
+        outs_b = est_batch.estimate_frame(
+            objs_b, neighborhood_deg=40.0, mask_scores=(t % 2 == 1)
+        )
+        for i in range(2):
+            np.testing.assert_allclose(
+                np.asarray(outs_b[i].tcos), np.asarray(outs_s[i].tcos),
+                rtol=0, atol=1e-5,
+            )
+            np.testing.assert_allclose(
+                np.asarray(outs_b[i].scores), np.asarray(outs_s[i].scores),
+                rtol=0, atol=1e-5,
+            )
+            prev_s[i] = outs_s[i].tcos[0]
+            prev_b[i] = outs_b[i].tcos[0]
+        # LRU/slot bookkeeping must stay in lockstep between the two paths.
+        for i, name in enumerate(p.name for p in packs):
+            cs = est_serial._fine_caches.get(name)
+            cb = est_batch._fine_caches.get(name)
+            assert (cs is None) == (cb is None)
+            if cs is not None:
+                assert cs.slot_of.keys() == cb.slot_of.keys()
+                assert list(cs.lru) == list(cb.lru)
+
+    # The lingering object actually exercised the fused multi path.
+    assert multi_calls["n"] >= 1
+
+
+def test_estimate_frame_requires_cache(setup):
+    renderer, bank, _ = setup
+    fe = DinoFeatureExtractor(CFG)
+    feature_fn = lambda imgs: fe(imgs, layer=2, feature_type="patch")
+    est = OnlinePoseEstimator(
+        feature_fn, bank, renderer, n_coarse_poses=16, n_fine_poses=200,
+        n_neighbors=8, extractor=fe, feature_layer=2, fine_cache_capacity=0,
+    )
+    with pytest.raises(ValueError):
+        est.estimate_frame([])
