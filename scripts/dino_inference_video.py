@@ -110,6 +110,9 @@ def main() -> None:
             # frame's compute (device_put is asynchronous).
             frame_dev.clear()
             frame_dev[f + 1] = jax.device_put(frames[f + 1])
+        frame_objs: list[dict] = []  # rescore objects, batched per frame
+        frame_meta: list[tuple] = []
+        t_frame = time.perf_counter()
         for p in by_frame.get(f, []):
             t0 = time.perf_counter()
             mesh_id = p["mesh"]
@@ -142,21 +145,50 @@ def main() -> None:
                 out = estimator.coarse.estimate(
                     prop.proposals[0], pack, k, bbox, scale, return_query_feat=False
                 )
+                tco = np.asarray(out.tcos[0])
+                if not args.no_rescore:
+                    prev_pose[mesh_id] = out.tcos[0]
+                results.append(PoseResult(
+                    scene_id=0, im_id=f, obj_id=mesh_id, score=float(out.scores[0]),
+                    R=tco[:3, :3], t=tco[:3, 3],
+                    bbox_visib=np.array([bbox[0], bbox[1], bbox[2] - bbox[0], bbox[3] - bbox[1]]),
+                    scale=scale, time=time.perf_counter() - t0,
+                ))
             else:
-                out = estimator.estimate(
-                    prop.proposals[0], prop.masks[0], pack, mesh, k, bbox, scale,
-                    prev_pose=prev_pose[mesh_id], neighborhood_deg=args.neighborhood,
+                frame_objs.append(dict(
+                    proposal=prop.proposals[0], proposal_mask=prop.masks[0],
+                    pack=pack, mesh=mesh, k=k, bbox=bbox, est_scale=scale,
+                    prev_pose=prev_pose.get(mesh_id), cache_key=mesh_id,
+                ))
+                frame_meta.append((mesh_id, bbox, scale))
+        if frame_objs:
+            # All cache-hit objects of the frame share ONE fused dispatch
+            # (estimate_frame); without the fine cache, refine serially.
+            if args.fine_cache:
+                outs = estimator.estimate_frame(
+                    frame_objs, neighborhood_deg=args.neighborhood,
                     mask_scores=args.mask_scores,
                 )
-            tco = np.asarray(out.tcos[0])
-            if not args.no_rescore:
+            else:
+                outs = [
+                    estimator.estimate(
+                        o["proposal"], o["proposal_mask"], o["pack"], o["mesh"],
+                        o["k"], o["bbox"], o["est_scale"], prev_pose=o["prev_pose"],
+                        neighborhood_deg=args.neighborhood,
+                        mask_scores=args.mask_scores,
+                    )
+                    for o in frame_objs
+                ]
+            dt = (time.perf_counter() - t_frame) / len(frame_objs)
+            for out, (mesh_id, bbox, scale) in zip(outs, frame_meta):
+                tco = np.asarray(out.tcos[0])
                 prev_pose[mesh_id] = out.tcos[0]
-            results.append(PoseResult(
-                scene_id=0, im_id=f, obj_id=mesh_id, score=float(out.scores[0]),
-                R=tco[:3, :3], t=tco[:3, 3],
-                bbox_visib=np.array([bbox[0], bbox[1], bbox[2] - bbox[0], bbox[3] - bbox[1]]),
-                scale=scale, time=time.perf_counter() - t0,
-            ))
+                results.append(PoseResult(
+                    scene_id=0, im_id=f, obj_id=mesh_id, score=float(out.scores[0]),
+                    R=tco[:3, :3], t=tco[:3, 3],
+                    bbox_visib=np.array([bbox[0], bbox[1], bbox[2] - bbox[0], bbox[3] - bbox[1]]),
+                    scale=scale, time=dt,
+                ))
         print(f"frame {f}: {len(by_frame.get(f, []))} objects")
 
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)
