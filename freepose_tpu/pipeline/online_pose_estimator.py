@@ -174,6 +174,7 @@ class OnlinePoseEstimator:
         prev_pose: jax.Array | None = None,
         neighborhood_deg: float = 15.0,
         mask_scores: bool = False,
+        cache_key=None,
     ) -> PoseEstimate:
         if prev_pose is None:
             coarse = self.coarse.estimate(
@@ -186,7 +187,8 @@ class OnlinePoseEstimator:
         if self.fine_cache_capacity:
             return self.refine_cached(
                 proposal, proposal_mask, mesh, k, bbox, est_scale, prev_pose,
-                neighborhood_deg, mask_scores, cache_key=pack.name,
+                neighborhood_deg, mask_scores,
+                cache_key=cache_key if cache_key is not None else pack.name,
             )
         if query_feat is None:
             query_feat = self.coarse.query_features(proposal)
@@ -229,7 +231,9 @@ class OnlinePoseEstimator:
         hits: list[tuple[int, dict, object, np.ndarray, np.ndarray]] = []
         seen_keys: set = set()
         for pos, o in enumerate(objects):
-            key = o.get("cache_key", o["pack"].name)
+            key = o.get("cache_key")
+            if key is None:
+                key = o["pack"].name
             cache = self._fine_caches.get(key)
             miss = True
             # Two objects sharing a cache key (same mesh id) must stay
@@ -255,6 +259,7 @@ class OnlinePoseEstimator:
                     o["k"], o["bbox"], o["est_scale"],
                     prev_pose=o.get("prev_pose"),
                     neighborhood_deg=neighborhood_deg, mask_scores=mask_scores,
+                    cache_key=key,
                 )
 
         if hits:

@@ -164,11 +164,97 @@ def run_refine_bench(args) -> dict:
         )
         return ms, med, (float(np.mean(misses)) if misses else 0.0)
 
+    def run_multi(mk_est, m):
+        """Multi-object frames: estimate_frame (fused hit dispatch) vs a
+        serial per-object refine_cached loop, all m objects co-tracked.
+        Each pass gets its OWN estimator warmed identically at traj[0] so
+        both see the same hit/miss pattern along the walk."""
+        keys = [f"bench{i}" for i in range(m)]
+        objs = [
+            dict(proposal=proposal, proposal_mask=pmask, pack=None, mesh=mesh,
+                 k=k, bbox=bbox, est_scale=0.15, cache_key=key)
+            for key in keys
+        ]
+        prev0 = jnp.asarray(traj[0])
+
+        def warm(est):
+            # Warm compiles: miss buckets (shape-keyed jit caches are
+            # process-wide, so they amortize across both passes), the hit
+            # path, and the m-object fused hit program. Bucket warmup uses a
+            # SCRATCH key so the tracked keys' caches stay in identical
+            # states (mixed hit/miss frames would compile new fused variants
+            # inside the timed window).
+            for key in keys + ["warmup"]:
+                est.refine_cached(proposal, pmask, mesh, k, bbox, 0.15, prev0,
+                                  mask_scores=args.mask_scores, cache_key=key)
+            cache = est._fine_caches["warmup"]
+            for n in (1, 5, 9):
+                cache.drop(list(cache.slot_of)[:n])
+                est.refine_cached(proposal, pmask, mesh, k, bbox, 0.15, prev0,
+                                  mask_scores=args.mask_scores, cache_key="warmup")
+            del est._fine_caches["warmup"]
+            outs = est.estimate_frame(
+                [dict(o, prev_pose=prev0) for o in objs],
+                mask_scores=args.mask_scores,
+            )
+            for o in outs:
+                jax.block_until_ready(o.tcos)
+            return est
+
+        def timed(step):
+            times = []
+            for t, prev in enumerate(traj[: args.warmup + args.frames]):
+                prev_j = jnp.asarray(prev)
+                t0 = time.perf_counter()
+                step(prev_j)
+                if t >= args.warmup:
+                    times.append(time.perf_counter() - t0)
+            return 1e3 * float(np.mean(times)), 1e3 * float(np.median(times))
+
+        est_b = warm(mk_est())
+
+        def batched(prev_j):
+            outs = est_b.estimate_frame(
+                [dict(o, prev_pose=prev_j) for o in objs],
+                mask_scores=args.mask_scores,
+            )
+            for o in outs:
+                jax.block_until_ready(o.tcos)
+
+        ms_b, med_b = timed(batched)
+        est_b._fine_caches.clear()  # free ~m x 0.5 GB before the serial pass
+
+        est_s = warm(mk_est())
+
+        def serial(prev_j):
+            for key in keys:
+                out = est_s.refine_cached(
+                    proposal, pmask, mesh, k, bbox, 0.15, prev_j,
+                    mask_scores=args.mask_scores, cache_key=key,
+                )
+                jax.block_until_ready(out.tcos)
+
+        ms_s, med_s = timed(serial)
+        fps = 1e3 / ms_b
+        print(
+            f"multi x{m}: batched {ms_b:.1f} ms/frame ({fps:.2f} frame-FPS, "
+            f"{m * fps:.1f} obj-FPS; median {med_b:.1f}) vs serial "
+            f"{ms_s:.1f} ms/frame (median {med_s:.1f}) -> {ms_s / ms_b:.2f}x"
+        )
+        return {
+            "multi_batched_ms_mean": ms_b, "multi_batched_ms_median": med_b,
+            "multi_serial_ms_mean": ms_s, "multi_serial_ms_median": med_s,
+            "n_objects": m,
+        }
+
     mk = lambda cap: OnlinePoseEstimator(
         feature_fn, bank, renderer, n_coarse_poses=renderer.n_poses,
         n_fine_poses=n_fine, n_neighbors=args.n_neighbors,
         extractor=fe, feature_layer=layer, fine_cache_capacity=cap,
     )
+
+    if args.n_objects > 1:
+        return run_multi(lambda: mk(max(args.cache, args.n_neighbors)), args.n_objects)
 
     ms_c, med_c, mpf = run(mk(max(args.cache, args.n_neighbors)), "cached ", use_cache=True)
     out = {"cached_ms_mean": ms_c, "cached_ms_median": med_c, "misses_per_frame": mpf}
@@ -199,6 +285,11 @@ def _parser() -> argparse.ArgumentParser:
     ap.add_argument("--cache", type=int, default=256)
     ap.add_argument("--no-uncached", action="store_true", help="skip the uncached baseline")
     ap.add_argument("--mask-scores", action="store_true")
+    ap.add_argument(
+        "--n-objects", type=int, default=1,
+        help=">1: benchmark multi-object frames (estimate_frame fused hit "
+        "dispatch vs a serial per-object loop)",
+    )
     return ap
 
 

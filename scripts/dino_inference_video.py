@@ -113,18 +113,25 @@ def main() -> None:
         frame_objs: list[dict] = []  # rescore objects, batched per frame
         frame_meta: list[tuple] = []
         t_frame = time.perf_counter()
-        for p in by_frame.get(f, []):
+        plist = by_frame.get(f, [])
+        if plist:
+            # One crop batch for all of the frame's objects (they share the
+            # image; extract_proposals is batched over proposals).
+            masks_np = np.stack([proposal_mask(p) for p in plist])
+            bboxes_np = np.stack(
+                [proposal_bbox_xyxy(p).astype(np.float32) for p in plist]
+            )
+            frame_props = extract_proposals(
+                frame_f, jnp.asarray(masks_np), jnp.asarray(bboxes_np),
+                target_size=420, bbox_extend=0.2,
+            )
+        for i, p in enumerate(plist):
             t0 = time.perf_counter()
             mesh_id = p["mesh"]
             if mesh_id not in mesh_cache:
                 mesh_cache[mesh_id] = load_obj(Path(args.mesh_dir) / mesh_id / f"{mesh_id}.obj").normalized()
             mesh = mesh_cache[mesh_id]
-            mask = proposal_mask(p)
-            bbox = proposal_bbox_xyxy(p).astype(np.float32)
-            prop = extract_proposals(
-                frame_f, jnp.asarray(mask[None]), jnp.asarray(bbox[None]),
-                target_size=420, bbox_extend=0.2,
-            )
+            bbox = bboxes_np[i]
             item = templates.get_template_by_name(mesh_id)
             pack = bank.cache.get(item["model_name"])
             if pack is None:
@@ -143,7 +150,7 @@ def main() -> None:
             scale = float(p.get("scale", 0.1))
             if args.no_rescore or mesh_id not in prev_pose:
                 out = estimator.coarse.estimate(
-                    prop.proposals[0], pack, k, bbox, scale, return_query_feat=False
+                    frame_props.proposals[i], pack, k, bbox, scale, return_query_feat=False
                 )
                 tco = np.asarray(out.tcos[0])
                 if not args.no_rescore:
@@ -156,7 +163,7 @@ def main() -> None:
                 ))
             else:
                 frame_objs.append(dict(
-                    proposal=prop.proposals[0], proposal_mask=prop.masks[0],
+                    proposal=frame_props.proposals[i], proposal_mask=frame_props.masks[i],
                     pack=pack, mesh=mesh, k=k, bbox=bbox, est_scale=scale,
                     prev_pose=prev_pose.get(mesh_id), cache_key=mesh_id,
                 ))
