@@ -139,6 +139,37 @@ def cou_bb(bb_est, bb_gt) -> float:
     return 1.0 - float(bbox_iou(jnp.asarray(bb_est, jnp.float32), jnp.asarray(bb_gt, jnp.float32)))
 
 
+def cou_mask(mask_est, mask_gt) -> float:
+    """Complement over union of 2D binary masks (reference
+    pose_error.py:336-355)."""
+    mask_est = np.asarray(mask_est, bool)
+    mask_gt = np.asarray(mask_gt, bool)
+    union = np.logical_or(mask_est, mask_gt).sum()
+    if union == 0:
+        return 1.0
+    return 1.0 - np.logical_and(mask_est, mask_gt).sum() / float(union)
+
+
+def cou_bb_proj(r_est, t_est, r_gt, t_gt, k, renderer: "MaskRenderer", obj_id) -> float:
+    """Complement over union of the projected silhouettes' bounding boxes
+    (reference pose_error.py:400-428). Empty renders score 1.0 (the
+    reference would raise on an empty mask; defensive-skip parity)."""
+    def xywh(mask):
+        ys, xs = np.nonzero(mask)
+        if xs.size == 0:
+            return None
+        return np.array(
+            [xs.min(), ys.min(), xs.max() - xs.min(), ys.max() - ys.min()],
+            np.float32,
+        )
+
+    bb_est = xywh(renderer.render_depth(obj_id, r_est, t_est, k) > 0)
+    bb_gt = xywh(renderer.render_depth(obj_id, r_gt, t_gt, k) > 0)
+    if bb_est is None or bb_gt is None:
+        return 1.0
+    return cou_bb(bb_est, bb_gt)
+
+
 class MaskRenderer:
     """Depth-mask renderer for `cus`/`vsd`, replacing the eval-side GL
     renderers (reference renderer_vispy.py / renderer_cpp.py): renders

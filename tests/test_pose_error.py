@@ -242,3 +242,35 @@ def test_symmetry_transformations():
     t = np.array([0.0, 0, 0.5])
     syms_fmt = [{"R": s["R"], "t": s["t"].reshape(3)} for s in syms_fine]
     assert pe.mssd(r_est, t, np.eye(3), t, ring, ring, syms=syms_fmt) < 5e-3
+
+
+def test_cou_mask():
+    a = np.zeros((8, 8), bool)
+    a[2:6, 2:6] = True
+    assert pe.cou_mask(a, a) == 0.0
+    b = np.zeros((8, 8), bool)
+    b[0:2, 0:2] = True
+    assert pe.cou_mask(a, b) == 1.0
+    assert pe.cou_mask(a, np.zeros((8, 8), bool)) == 1.0  # empty union
+    c = np.zeros((8, 8), bool)
+    c[2:6, 2:4] = True  # half of a
+    assert abs(pe.cou_mask(a, c) - 0.5) < 1e-9
+
+
+def test_cou_bb_proj_with_tpu_renderer():
+    h = 0.05
+    v = np.array([[-h, -h, -h], [h, -h, -h], [h, h, -h], [-h, h, -h],
+                  [-h, -h, h], [h, -h, h], [h, h, h], [-h, h, h]], np.float32)
+    f = np.array([[0, 1, 2], [0, 2, 3], [4, 6, 5], [4, 7, 6], [0, 4, 5], [0, 5, 1],
+                  [1, 5, 6], [1, 6, 2], [2, 6, 7], [2, 7, 3], [3, 7, 4], [3, 4, 0]], np.int32)
+    ren = pe.MaskRenderer(160, 128, max_vertices=16, max_faces=16)
+    ren.add_object("a", TriMesh(v, f))
+    k = np.array([[150.0, 0, 80], [0, 150, 64], [0, 0, 1]])
+    r = np.eye(3)
+    t = np.array([0.0, 0, 0.6])
+    assert pe.cou_bb_proj(r, t, r, t, k, ren, "a") < 1e-6
+    t2 = np.array([0.25, 0, 0.6])
+    assert pe.cou_bb_proj(r, t, r, t2, k, ren, "a") > 0.9
+    # Behind the camera -> empty render -> defensive 1.0.
+    t3 = np.array([0.0, 0, -0.6])
+    assert pe.cou_bb_proj(r, t, r, t3, k, ren, "a") == 1.0
