@@ -281,6 +281,95 @@ def cached_refine_hit(
 
 @partial(
     jax.jit,
+    static_argnames=(
+        "extractor", "layer", "settings", "pose_chunk", "resolution",
+        "mask_scores", "rendering_scale",
+    ),
+    donate_argnums=(0, 1, 2),
+)
+def cached_refine_update_multi(
+    feats_bufs,  # tuple of M cache buffers (donated; kept separate — each is
+    masks_bufs,  # hundreds of MB, stacking would copy)
+    stats_bufs,
+    fine_poses,
+    new_idx,  # [M, B] miss fine-grid indices (shared bucket B = max natural)
+    write_slots,  # [M, B]
+    meshes,  # tuple of M padded-mesh buffer 4-tuples (v, c, f, fv)
+    k_render,
+    fe_params,
+    proposals,  # [M, 3, R, R]
+    gather_slots,  # [M, N]
+    valid,  # [M, N]
+    sel_idx,  # [M, N]
+    proposal_masks,  # [M, R, R]
+    ks, bboxes, est_scales,  # [M, 3, 3], [M, 4], [M]
+    *, extractor, layer, settings, pose_chunk, resolution, mask_scores,
+    rendering_scale,
+):
+    """Multi-object miss path, ONE dispatch for a whole frame: render each
+    miss object's views (statically unrolled — objects have different
+    meshes), featurize ALL query crops and miss renders as a single ViT
+    batch, scatter into each object's cache, gather/rescore/lift per object.
+    The bucket B is shared (max over the objects' natural buckets); objects
+    with fewer misses get extra prefetch, which never changes results (each
+    view is an exact function of its grid index)."""
+    from freepose_tpu.models.dinov2 import _extract_jit
+    from freepose_tpu.ops.rasterizer import render_meshes
+    from freepose_tpu.pipeline.renderer import _generate_proposals_jit
+    from freepose_tpu.pipeline.template_bank import depth_stats, normalize_feats
+
+    m = len(feats_bufs)
+    b = new_idx.shape[1]
+    props_list, rmasks_list, stats_list = [], [], []
+    for i in range(m):
+        v, c, f, fv = meshes[i]
+        rgb, depth = render_meshes(
+            v, c, f, fv, fine_poses[new_idx[i]], k_render, settings,
+            pose_chunk=pose_chunk,
+        )
+        props, rmasks, _ = _generate_proposals_jit.__wrapped__(
+            rgb, depth, resolution, resolution
+        )
+        props_list.append(props)
+        rmasks_list.append(rmasks)
+        smin, smax, smean = depth_stats.__wrapped__(depth, k_render)
+        stats_list.append(jnp.stack([smin, smax, smean], axis=1))
+
+    batch = jnp.concatenate(
+        [proposals.astype(props_list[0].dtype)] + props_list
+    )  # [M + M*B, 3, R, R]
+    feats = normalize_feats(
+        _extract_jit.__wrapped__(extractor, fe_params, batch, layer, "patch")
+    )
+    qf = feats[:m]
+
+    out_bufs, tcos, scores, locals_ = [], [], [], []
+    for i in range(m):
+        new_feats = feats[m + i * b : m + (i + 1) * b]
+        fb = feats_bufs[i].at[write_slots[i]].set(new_feats.astype(feats_bufs[i].dtype))
+        mb = masks_bufs[i].at[write_slots[i]].set(rmasks_list[i])
+        sb = stats_bufs[i].at[write_slots[i]].set(stats_list[i])
+        out_bufs.append((fb, mb, sb))
+        t, s, l = _gather_rescore_lift(
+            fb, mb, sb, qf[i], gather_slots[i], valid[i],
+            fine_poses[sel_idx[i]], proposal_masks[i], ks[i], bboxes[i],
+            est_scales[i],
+            resolution=resolution, patch_size=extractor.config.patch_size,
+            mask_scores=mask_scores, rendering_scale=rendering_scale,
+        )
+        tcos.append(t)
+        scores.append(s)
+        locals_.append(l)
+    return (
+        tuple(o[0] for o in out_bufs),
+        tuple(o[1] for o in out_bufs),
+        tuple(o[2] for o in out_bufs),
+        jnp.stack(tcos), jnp.stack(scores), jnp.stack(locals_), qf,
+    )
+
+
+@partial(
+    jax.jit,
     static_argnames=("extractor", "layer", "resolution", "mask_scores", "rendering_scale"),
 )
 def cached_refine_hit_multi(

@@ -214,52 +214,136 @@ class OnlinePoseEstimator:
         Each entry of `objects` is a dict with keys `proposal` [3,R,R],
         `proposal_mask` [R,R], `pack`, `mesh`, `k`, `bbox`, `est_scale`,
         `prev_pose` (None -> coarse frame-0 path) and optional `cache_key`.
-        Objects whose neighbourhood is fully cached share ONE fused dispatch
+        All cache-HIT objects share ONE fused dispatch
         (fine_cache.cached_refine_hit_multi: their query crops featurize as a
-        single ViT batch); coarse and cache-miss objects take their usual
-        per-object paths. The reference refines objects serially per frame
-        (dino_inference_video.py:144); results here are identical to calling
-        estimate() per object (parity-tested), M hit objects cost ~one
-        object's dispatch. Requires the fine-view cache."""
+        single ViT batch) and all cache-MISS objects share ONE fused dispatch
+        (cached_refine_update_multi: per-object renders + a single combined
+        feature batch); coarse objects take the per-object path. The
+        reference refines objects serially per frame
+        (dino_inference_video.py:144); results here match calling estimate()
+        per object (parity-tested). Requires the fine-view cache."""
         if not self.fine_cache_capacity:
             raise ValueError("estimate_frame requires fine_cache_capacity > 0")
         from freepose_tpu.pipeline.fine_cache import (
-            cached_refine_hit_multi, select_neighborhood_host,
+            cached_refine_hit_multi, cached_refine_update_multi,
+            select_neighborhood_host,
         )
 
         results: list[PoseEstimate | None] = [None] * len(objects)
-        hits: list[tuple[int, dict, object, np.ndarray, np.ndarray]] = []
-        seen_keys: set = set()
-        for pos, o in enumerate(objects):
+
+        def serial(o, key):
+            return self.estimate(
+                o["proposal"], o["proposal_mask"], o["pack"], o["mesh"],
+                o["k"], o["bbox"], o["est_scale"], prev_pose=o.get("prev_pose"),
+                neighborhood_deg=neighborhood_deg, mask_scores=mask_scores,
+                cache_key=key,
+            )
+
+        def obj_key(o):
             key = o.get("cache_key")
-            if key is None:
-                key = o["pack"].name
-            cache = self._fine_caches.get(key)
-            miss = True
+            return key if key is not None else o["pack"].name
+
+        if len(objects) == 1:
+            # Single-object frames (the common case) keep the exact
+            # single-object programs — no M=1 fused variants to compile.
+            return [serial(objects[0], obj_key(objects[0]))]
+
+        hits: list[tuple[int, dict, object, np.ndarray, np.ndarray]] = []
+        misses: list[tuple] = []
+        seen_keys: set = set()
+        res = self.renderer.resolution
+        for pos, o in enumerate(objects):
+            key = obj_key(o)
             # Two objects sharing a cache key (same mesh id) must stay
-            # serial: a later same-key miss could evict a classified hit's
-            # slots before the fused gather runs.
+            # serial: a later same-key miss could evict a classified object's
+            # slots before the fused dispatch runs.
             share = key in seen_keys
             seen_keys.add(key)
-            if not share and o.get("prev_pose") is not None and cache is not None:
-                prev = np.asarray(o["prev_pose"])
-                sel_idx, valid = select_neighborhood_host(
-                    self._fine_rots_np, prev[:3, :3], neighborhood_deg,
-                    self.n_neighbors,
+            if share or o.get("prev_pose") is None:
+                results[pos] = serial(o, key)
+                continue
+            if self.shard_mesh is not None:
+                # The fused multi-miss update does not compose with shard_map
+                # yet: batch only the hits (light probe, no state mutation),
+                # and let each miss take the per-object SHARDED update.
+                cache = self._fine_caches.get(key)
+                if cache is not None:
+                    prev = np.asarray(o["prev_pose"])
+                    sel_idx, valid = select_neighborhood_host(
+                        self._fine_rots_np, prev[:3, :3], neighborhood_deg,
+                        self.n_neighbors,
+                    )
+                    if not cache.missing(sel_idx):
+                        self._last_prev_rot[key] = prev[:3, :3]
+                        cache.touch(sel_idx)
+                        hits.append((pos, o, cache, sel_idx, valid))
+                        continue
+                results[pos] = serial(o, key)
+                continue
+            assert o["proposal"].shape[-1] == res, (
+                f"cached refine needs the proposal crop at render resolution "
+                f"({o['proposal'].shape[-1]} vs {res})"
+            )
+            cache, sel_idx, valid, near_extra, missing = self._cached_state(
+                key, np.asarray(o["prev_pose"]), neighborhood_deg
+            )
+            if missing:
+                misses.append((pos, o, key, cache, sel_idx, valid, near_extra, missing))
+            else:
+                hits.append((pos, o, cache, sel_idx, valid))
+
+        if len(misses) == 1:
+            # One miss object: the exact single-object update program (no
+            # M=1 fused variant to compile).
+            pos, o, key, cache, sel_idx, valid, near_extra, missing = misses[0]
+            results[pos] = self._dispatch_cached(
+                key, cache, sel_idx, valid, near_extra, missing,
+                o["proposal"], o["proposal_mask"], o["mesh"], o["k"],
+                o["bbox"], o["est_scale"], mask_scores,
+            )
+        elif misses:
+            common = dict(
+                extractor=self.extractor, layer=self.feature_layer,
+                resolution=res, mask_scores=mask_scores,
+                rendering_scale=self.rendering_scale,
+            )
+            # Shared bucket: every miss object renders the same view count
+            # (smaller-miss objects get extra prefetch — results unchanged).
+            m_b = max(self._natural_bucket(mi[3], mi[7]) for mi in misses)
+            plans = [
+                self._plan_miss(mi[3], mi[7], mi[6], mi[4], m_b) for mi in misses
+            ]
+            sel_arr = np.stack([mi[4] for mi in misses])
+            (new_feats, new_masks, new_stats, tcos, scores, local, qf,
+             ) = cached_refine_update_multi(
+                tuple(mi[3].feats for mi in misses),
+                tuple(mi[3].masks for mi in misses),
+                tuple(mi[3].stats for mi in misses),
+                self.fine_poses,
+                jnp.asarray(np.stack([p[0] for p in plans])),
+                jnp.asarray(np.stack([p[1] for p in plans])),
+                tuple(self._padded_mesh(mi[2], mi[1]["mesh"]) for mi in misses),
+                self.renderer.k,
+                self.extractor.params,
+                jnp.stack([jnp.asarray(mi[1]["proposal"]) for mi in misses]),
+                jnp.asarray(np.stack([mi[3].gather_slots(mi[4]) for mi in misses])),
+                jnp.asarray(np.stack([mi[5] for mi in misses])),
+                jnp.asarray(sel_arr),
+                jnp.stack([jnp.asarray(mi[1]["proposal_mask"]) for mi in misses]),
+                jnp.stack([jnp.asarray(mi[1]["k"], jnp.float32) for mi in misses]),
+                jnp.stack([jnp.asarray(mi[1]["bbox"], jnp.float32) for mi in misses]),
+                jnp.stack([jnp.asarray(mi[1]["est_scale"], jnp.float32) for mi in misses]),
+                settings=self.renderer.settings,
+                pose_chunk=self.renderer.pose_chunk,
+                **common,
+            )
+            for j, mi in enumerate(misses):
+                cache = mi[3]
+                cache.feats, cache.masks, cache.stats = (
+                    new_feats[j], new_masks[j], new_stats[j]
                 )
-                if not cache.missing(sel_idx):
-                    # Hit: do the bookkeeping refine_cached would have done.
-                    self._last_prev_rot[key] = prev[:3, :3]
-                    cache.touch(sel_idx)
-                    hits.append((pos, o, cache, sel_idx, valid))
-                    miss = False
-            if miss:
-                results[pos] = self.estimate(
-                    o["proposal"], o["proposal_mask"], o["pack"], o["mesh"],
-                    o["k"], o["bbox"], o["est_scale"],
-                    prev_pose=o.get("prev_pose"),
-                    neighborhood_deg=neighborhood_deg, mask_scores=mask_scores,
-                    cache_key=key,
+                results[mi[0]] = PoseEstimate(
+                    tcos[j], scores[j], jnp.asarray(sel_arr[j])[local[j]], qf[j]
                 )
 
         if hits:
@@ -394,6 +478,71 @@ class OnlinePoseEstimator:
         )
         return PoseEstimate(tcos, top_scores, sel_idx[local_idx], query_feat)
 
+    def _cached_state(self, key, prev_np: np.ndarray, neighborhood_deg: float):
+        """Host-side bookkeeping for one object's cached refine step: get or
+        create the cache, update the prediction state, select the
+        neighbourhood (prefetch ordering centres on the EXTRAPOLATED next
+        pose — constant angular velocity R_pred = R_rel @ R_prev — so
+        miss-frame padding pre-caches the views the trajectory is about to
+        enter; selection itself always uses prev, prediction never changes
+        results), list misses, touch the LRU."""
+        from freepose_tpu.pipeline.fine_cache import (
+            FineViewCache, select_neighborhood_host,
+        )
+
+        cache = self._fine_caches.get(key)
+        if cache is None:
+            cache = self._fine_caches[key] = FineViewCache(self.fine_cache_capacity)
+            cfg = self.extractor.config
+            res = self.renderer.resolution
+            grid = res // cfg.patch_size
+            cache.ensure_buffers(grid * grid, cfg.hidden_size, res, cfg.dtype)
+        last = self._last_prev_rot.get(key)
+        r_prev = prev_np[:3, :3]
+        pred = (r_prev @ last.T) @ r_prev if last is not None else None
+        self._last_prev_rot[key] = r_prev
+        sel_idx, valid, near_extra = select_neighborhood_host(
+            self._fine_rots_np, r_prev, neighborhood_deg, self.n_neighbors,
+            n_extra=self.n_neighbors, extra_center=pred,
+        )
+        missing = cache.missing(sel_idx)
+        cache.touch(sel_idx)
+        return cache, sel_idx, valid, near_extra, missing
+
+    def _natural_bucket(self, cache, missing) -> int:
+        """Miss-bucket size for one object: the miss count plus the prefetch
+        quota, rounded up a bucket (see refine_cached's padding comment)."""
+        from freepose_tpu.pipeline.fine_cache import bucket_size
+
+        n_dev = self.shard_mesh.shape["model"] if self.shard_mesh is not None else 1
+        max_prefetch = cache.capacity - self.n_neighbors
+        target = len(missing) + min(self.prefetch_quota, max_prefetch)
+        return bucket_size(min(target, self.n_neighbors), self.n_neighbors, multiple=n_dev)
+
+    def _plan_miss(self, cache, missing, near_extra, sel_idx, m_b):
+        """Fill the miss batch up to the bucket with PREFETCH (nearest
+        not-yet-cached poses around the predicted next pose — miss frames
+        pre-cache what the trajectory needs next, so following frames go
+        all-hit; total per-view work is invariant since each view is computed
+        exactly once), assign slots (evictions protected against the live
+        neighbourhood), pad any remainder into the scratch slot."""
+        max_prefetch = cache.capacity - self.n_neighbors
+        pad = m_b - len(missing)
+        if pad > 0:
+            prefetch = cache.missing(near_extra)[: min(pad, max_prefetch)]
+            missing = missing + prefetch
+        pad = m_b - len(missing)
+        write_slots = cache.assign_slots(missing, protect=sel_idx)
+        new_idx = np.asarray(missing, np.int32)
+        if pad:
+            # Not enough uncached prefetch candidates: remaining padding
+            # re-renders the first miss into the scratch slot.
+            new_idx = np.concatenate([new_idx, np.full(pad, new_idx[0], np.int32)])
+            write_slots = np.concatenate(
+                [write_slots, np.full(pad, cache.capacity, np.int32)]
+            )
+        return new_idx, write_slots
+
     def refine_cached(
         self,
         proposal: jax.Array,
@@ -410,40 +559,32 @@ class OnlinePoseEstimator:
         """Refine via the fine-view cache (exact reuse across frames): one
         dispatch per frame, featurizing only the query crop + cache misses.
         See pipeline/fine_cache.py."""
-        from freepose_tpu.pipeline.fine_cache import (
-            FineViewCache, bucket_size, cached_refine_hit, cached_refine_update,
-            select_neighborhood_host,
-        )
-
         res = self.renderer.resolution
         assert proposal.shape[-1] == res, (
             f"cached refine needs the proposal crop at render resolution "
             f"({proposal.shape[-1]} vs {res})"
         )
         key = cache_key if cache_key is not None else id(mesh)
-        cache = self._fine_caches.get(key)
-        if cache is None:
-            cache = self._fine_caches[key] = FineViewCache(self.fine_cache_capacity)
-            cfg = self.extractor.config
-            grid = res // cfg.patch_size
-            cache.ensure_buffers(grid * grid, cfg.hidden_size, res, cfg.dtype)
-
-        prev = np.asarray(prev_pose)
-        # Prefetch ordering centres on the EXTRAPOLATED next pose (constant
-        # angular velocity: R_pred = R_rel @ R_prev) so miss-frame padding
-        # pre-caches the views the trajectory is about to enter. Selection
-        # itself always uses prev — prediction never changes results.
-        last = self._last_prev_rot.get(key)
-        r_prev = prev[:3, :3]
-        pred = (r_prev @ last.T) @ r_prev if last is not None else None
-        self._last_prev_rot[key] = r_prev
-        sel_idx, valid, near_extra = select_neighborhood_host(
-            self._fine_rots_np, r_prev, neighborhood_deg, self.n_neighbors,
-            n_extra=self.n_neighbors, extra_center=pred,
+        cache, sel_idx, valid, near_extra, missing = self._cached_state(
+            key, np.asarray(prev_pose), neighborhood_deg
         )
-        missing = cache.missing(sel_idx)
-        cache.touch(sel_idx)
+        return self._dispatch_cached(
+            key, cache, sel_idx, valid, near_extra, missing,
+            proposal, proposal_mask, mesh, k, bbox, est_scale, mask_scores,
+        )
 
+    def _dispatch_cached(
+        self, key, cache, sel_idx, valid, near_extra, missing,
+        proposal, proposal_mask, mesh, k, bbox, est_scale, mask_scores,
+    ) -> PoseEstimate:
+        """Device dispatch of one object's cached refine given precomputed
+        host state (from _cached_state): miss -> one fused update program,
+        all-hit -> the hit program."""
+        from freepose_tpu.pipeline.fine_cache import (
+            cached_refine_hit, cached_refine_update,
+        )
+
+        res = self.renderer.resolution
         common = dict(
             extractor=self.extractor, layer=self.feature_layer,
             resolution=res, mask_scores=mask_scores,
@@ -456,32 +597,10 @@ class OnlinePoseEstimator:
         scaleq = jnp.asarray(est_scale, jnp.float32)
 
         if missing:
-            # Round the miss batch UP a bucket and fill ALL padding with
-            # PREFETCH: the nearest not-yet-cached poses around the predicted
-            # next pose are what the trajectory needs next, so miss frames
-            # pre-cache them and the following frames go all-hit. Total
-            # per-view work is invariant (each view is computed exactly
-            # once); bigger batches just amortize dispatch overhead better.
-            # Prefetch is capped so evictions always find a victim outside
-            # the protected neighbourhood (see FineViewCache.assign_slots).
-            n_dev = self.shard_mesh.shape["model"] if self.shard_mesh is not None else 1
-            max_prefetch = cache.capacity - self.n_neighbors
-            target = len(missing) + min(self.prefetch_quota, max_prefetch)
-            m_b = bucket_size(min(target, self.n_neighbors), self.n_neighbors, multiple=n_dev)
-            pad = m_b - len(missing)
-            if pad > 0:
-                prefetch = cache.missing(near_extra)[: min(pad, max_prefetch)]
-                missing = missing + prefetch
-            pad = m_b - len(missing)
-            write_slots = cache.assign_slots(missing, protect=sel_idx)
-            new_idx = np.asarray(missing, np.int32)
-            if pad:
-                # Not enough uncached prefetch candidates: remaining padding
-                # re-renders the first miss into the scratch slot.
-                new_idx = np.concatenate([new_idx, np.full(pad, new_idx[0], np.int32)])
-                write_slots = np.concatenate(
-                    [write_slots, np.full(pad, cache.capacity, np.int32)]
-                )
+            m_b = self._natural_bucket(cache, missing)
+            new_idx, write_slots = self._plan_miss(
+                cache, missing, near_extra, sel_idx, m_b
+            )
             gather = cache.gather_slots(sel_idx)
             v, c, f, fv = self._padded_mesh(key, mesh)
             (cache.feats, cache.masks, cache.stats, tcos, score, local, qf,

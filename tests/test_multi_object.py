@@ -67,17 +67,24 @@ def test_estimate_frame_matches_serial(setup, monkeypatch):
     packs = [bank.get(f"mo-{i}", m) for i, m in enumerate(meshes)]
     fp = np.asarray(est_serial.fine_poses)
 
-    multi_calls = {"n": 0}
-    orig = fine_cache.cached_refine_hit_multi
+    calls = {"hit": 0, "update": 0}
+    orig_hit = fine_cache.cached_refine_hit_multi
+    orig_upd = fine_cache.cached_refine_update_multi
 
-    def counting(*a, **kw):
-        multi_calls["n"] += 1
-        return orig(*a, **kw)
+    def counting_hit(*a, **kw):
+        calls["hit"] += 1
+        return orig_hit(*a, **kw)
 
-    monkeypatch.setattr(fine_cache, "cached_refine_hit_multi", counting)
+    def counting_upd(*a, **kw):
+        calls["update"] += 1
+        return orig_upd(*a, **kw)
 
-    # Per-object grid trajectories: obj0 lingers (hits), obj1 jumps (misses).
-    trajs = [[5, 5, 6, 5, 6], [120, 121, 40, 41, 40]]
+    monkeypatch.setattr(fine_cache, "cached_refine_hit_multi", counting_hit)
+    monkeypatch.setattr(fine_cache, "cached_refine_update_multi", counting_upd)
+
+    # Per-object grid trajectories: obj0 lingers early (joint hits), then
+    # BOTH jump at t=3 (joint misses -> the fused multi update).
+    trajs = [[5, 5, 6, 80, 81], [120, 121, 40, 160, 161]]
     prev_s = [None, None]
     prev_b = [None, None]
     for t in range(len(trajs[0])):
@@ -117,17 +124,14 @@ def test_estimate_frame_matches_serial(setup, monkeypatch):
             )
             prev_s[i] = outs_s[i].tcos[0]
             prev_b[i] = outs_b[i].tcos[0]
-        # LRU/slot bookkeeping must stay in lockstep between the two paths.
-        for i, name in enumerate(p.name for p in packs):
-            cs = est_serial._fine_caches.get(name)
-            cb = est_batch._fine_caches.get(name)
-            assert (cs is None) == (cb is None)
-            if cs is not None:
-                assert cs.slot_of.keys() == cb.slot_of.keys()
-                assert list(cs.lru) == list(cb.lru)
+        # NB cache CONTENTS may legitimately diverge between the two paths
+        # (the fused miss batch shares one bucket, so smaller-miss objects
+        # get extra prefetch) — exact per-view reuse keeps outputs equal
+        # regardless, which is what the assertions above pin.
 
-    # The lingering object actually exercised the fused multi path.
-    assert multi_calls["n"] >= 1
+    # Both fused frame paths actually ran.
+    assert calls["hit"] >= 1
+    assert calls["update"] >= 1
 
 
 def test_estimate_frame_requires_cache(setup):
