@@ -193,12 +193,24 @@ def run_refine_bench(args) -> dict:
                 est.refine_cached(proposal, pmask, mesh, k, bbox, 0.15, prev0,
                                   mask_scores=args.mask_scores, cache_key="warmup")
             del est._fine_caches["warmup"]
-            outs = est.estimate_frame(
-                [dict(o, prev_pose=prev0) for o in objs],
-                mask_scores=args.mask_scores,
-            )
-            for o in outs:
-                jax.block_until_ready(o.tcos)
+
+            def frame():
+                outs = est.estimate_frame(
+                    [dict(o, prev_pose=prev0) for o in objs],
+                    mask_scores=args.mask_scores,
+                )
+                for o in outs:
+                    jax.block_until_ready(o.tcos)
+
+            frame()  # fused hit program
+            for n in (1, 5, 9):
+                # Joint drops -> the fused multi-miss update program, one
+                # compile per bucket it will see during the walk.
+                for key in keys:
+                    c = est._fine_caches[key]
+                    c.drop(list(c.slot_of)[:n])
+                frame()
+            frame()  # restore all-hit
             return est
 
         def timed(step):
