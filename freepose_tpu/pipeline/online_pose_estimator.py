@@ -208,20 +208,24 @@ class OnlinePoseEstimator:
         objects: list[dict],
         neighborhood_deg: float = 15.0,
         mask_scores: bool = False,
+        fuse: bool = False,
     ) -> list[PoseEstimate]:
-        """Batched per-frame refine of M co-tracked objects.
+        """Per-frame refine of M co-tracked objects.
 
         Each entry of `objects` is a dict with keys `proposal` [3,R,R],
         `proposal_mask` [R,R], `pack`, `mesh`, `k`, `bbox`, `est_scale`,
         `prev_pose` (None -> coarse frame-0 path) and optional `cache_key`.
-        All cache-HIT objects share ONE fused dispatch
+
+        With `fuse=True`, all cache-HIT objects share ONE fused dispatch
         (fine_cache.cached_refine_hit_multi: their query crops featurize as a
         single ViT batch) and all cache-MISS objects share ONE fused dispatch
         (cached_refine_update_multi: per-object renders + a single combined
-        feature batch); coarse objects take the per-object path. The
-        reference refines objects serially per frame
-        (dino_inference_video.py:144); results here match calling estimate()
-        per object (parity-tested). Requires the fine-view cache."""
+        feature batch); results match the serial path (parity-tested).
+        Default is the serial per-object dispatch because it MEASURES FASTER
+        on a v5e at production shapes: a batch-1 ViT-L@420² program already
+        saturates the chip (M=4 enqueue-rate: serial 100 vs fused 140
+        ms/frame), so fusing reduces dispatch count but not device time —
+        see STATUS.md. Requires the fine-view cache."""
         if not self.fine_cache_capacity:
             raise ValueError("estimate_frame requires fine_cache_capacity > 0")
         from freepose_tpu.pipeline.fine_cache import (
@@ -243,10 +247,10 @@ class OnlinePoseEstimator:
             key = o.get("cache_key")
             return key if key is not None else o["pack"].name
 
-        if len(objects) == 1:
-            # Single-object frames (the common case) keep the exact
-            # single-object programs — no M=1 fused variants to compile.
-            return [serial(objects[0], obj_key(objects[0]))]
+        if not fuse or len(objects) == 1:
+            # Serial per-object dispatch (default, and single-object frames
+            # always: the exact single-object programs, no fused variants).
+            return [serial(o, obj_key(o)) for o in objects]
 
         hits: list[tuple[int, dict, object, np.ndarray, np.ndarray]] = []
         misses: list[tuple] = []

@@ -197,7 +197,7 @@ def run_refine_bench(args) -> dict:
             def frame():
                 outs = est.estimate_frame(
                     [dict(o, prev_pose=prev0) for o in objs],
-                    mask_scores=args.mask_scores,
+                    mask_scores=args.mask_scores, fuse=True,
                 )
                 for o in outs:
                     jax.block_until_ready(o.tcos)
@@ -228,12 +228,31 @@ def run_refine_bench(args) -> dict:
         def batched(prev_j):
             outs = est_b.estimate_frame(
                 [dict(o, prev_pose=prev_j) for o in objs],
-                mask_scores=args.mask_scores,
+                mask_scores=args.mask_scores, fuse=True,
             )
             for o in outs:
                 jax.block_until_ready(o.tcos)
 
+        # MARGINAL rate: enqueue all frames without per-frame blocking and
+        # block once at the end. Per-frame round trips pipeline away, so
+        # this approximates the device-bound cost a locally-attached chip
+        # would see (cf. the STATUS.md tunnel-calibration methodology).
+        # Runs right after each pass's timed walk, on its warm caches
+        # (i.e. it measures the all-hit steady state).
+        def rate(step_outs):
+            last = None
+            t0 = time.perf_counter()
+            for prev in traj[: args.frames]:
+                last = step_outs(jnp.asarray(prev))
+            for o in last:
+                np.asarray(o.tcos)  # full fetch: honest end-of-queue wait
+            return 1e3 * (time.perf_counter() - t0) / args.frames
+
         ms_b, med_b = timed(batched)
+        rate_b = rate(lambda p: est_b.estimate_frame(
+            [dict(o, prev_pose=p) for o in objs], mask_scores=args.mask_scores,
+            fuse=True,
+        ))
         est_b._fine_caches.clear()  # free ~m x 0.5 GB before the serial pass
 
         est_s = warm(mk_est())
@@ -247,15 +266,24 @@ def run_refine_bench(args) -> dict:
                 jax.block_until_ready(out.tcos)
 
         ms_s, med_s = timed(serial)
+        rate_s = rate(lambda p: [
+            est_s.refine_cached(proposal, pmask, mesh, k, bbox, 0.15, p,
+                                mask_scores=args.mask_scores, cache_key=key)
+            for key in keys
+        ])
+
         fps = 1e3 / ms_b
         print(
             f"multi x{m}: batched {ms_b:.1f} ms/frame ({fps:.2f} frame-FPS, "
             f"{m * fps:.1f} obj-FPS; median {med_b:.1f}) vs serial "
-            f"{ms_s:.1f} ms/frame (median {med_s:.1f}) -> {ms_s / ms_b:.2f}x"
+            f"{ms_s:.1f} ms/frame (median {med_s:.1f}) -> {ms_s / ms_b:.2f}x; "
+            f"enqueue-rate batched {rate_b:.1f} vs serial {rate_s:.1f} ms/frame "
+            f"-> {rate_s / rate_b:.2f}x"
         )
         return {
             "multi_batched_ms_mean": ms_b, "multi_batched_ms_median": med_b,
             "multi_serial_ms_mean": ms_s, "multi_serial_ms_median": med_s,
+            "multi_batched_rate_ms": rate_b, "multi_serial_rate_ms": rate_s,
             "n_objects": m,
         }
 

@@ -57,6 +57,13 @@ def main() -> None:
         "frames featurize only the query crop + newly-entered views",
     )
     ap.add_argument(
+        "--fuse-objects", action="store_true",
+        help="fuse all of a frame's cache-hit (resp. cache-miss) objects "
+        "into one dispatch. Parity-tested but measured SLOWER than serial "
+        "per-object dispatch on a v5e (batch-1 ViT-L@420 already saturates "
+        "the chip) — see STATUS.md",
+    )
+    ap.add_argument(
         "--shard-refine", action="store_true",
         help="fan refine work over all devices (multi-chip latency scaling). "
         "Composes with the fine-view cache: cache buffers replicate over the "
@@ -174,7 +181,7 @@ def main() -> None:
             if args.fine_cache:
                 outs = estimator.estimate_frame(
                     frame_objs, neighborhood_deg=args.neighborhood,
-                    mask_scores=args.mask_scores,
+                    mask_scores=args.mask_scores, fuse=args.fuse_objects,
                 )
             else:
                 outs = [

@@ -111,7 +111,7 @@ def test_estimate_frame_matches_serial(setup, monkeypatch):
             for o in objs_s
         ]
         outs_b = est_batch.estimate_frame(
-            objs_b, neighborhood_deg=40.0, mask_scores=(t % 2 == 1)
+            objs_b, neighborhood_deg=40.0, mask_scores=(t % 2 == 1), fuse=True
         )
         for i in range(2):
             np.testing.assert_allclose(
