@@ -287,11 +287,15 @@ def run_refine_bench(args) -> dict:
             "n_objects": m,
         }
 
-    mk = lambda cap: OnlinePoseEstimator(
-        feature_fn, bank, renderer, n_coarse_poses=renderer.n_poses,
-        n_fine_poses=n_fine, n_neighbors=args.n_neighbors,
-        extractor=fe, feature_layer=layer, fine_cache_capacity=cap,
-    )
+    def mk(cap):
+        est = OnlinePoseEstimator(
+            feature_fn, bank, renderer, n_coarse_poses=renderer.n_poses,
+            n_fine_poses=n_fine, n_neighbors=args.n_neighbors,
+            extractor=fe, feature_layer=layer, fine_cache_capacity=cap,
+        )
+        if args.prefetch_quota is not None:
+            est.prefetch_quota = args.prefetch_quota
+        return est
 
     if args.n_objects > 1:
         return run_multi(lambda: mk(max(args.cache, args.n_neighbors)), args.n_objects)
@@ -325,6 +329,11 @@ def _parser() -> argparse.ArgumentParser:
     ap.add_argument("--cache", type=int, default=256)
     ap.add_argument("--no-uncached", action="store_true", help="skip the uncached baseline")
     ap.add_argument("--mask-scores", action="store_true")
+    ap.add_argument(
+        "--prefetch-quota", type=int, default=None,
+        help="override OnlinePoseEstimator.prefetch_quota (extra views "
+        "pre-cached per miss frame; default 4)",
+    )
     ap.add_argument(
         "--n-objects", type=int, default=1,
         help=">1: benchmark multi-object frames (estimate_frame fused hit "
