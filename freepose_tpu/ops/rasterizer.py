@@ -204,7 +204,8 @@ def render_meshes(
         return rasterize(vertices, colors, faces, face_valid, poses, k, settings)
     rgbs, depths = [], []
     for i in range(0, poses.shape[0], pose_chunk):
-        r, d = rasterize(vertices, colors, faces, face_valid, poses[i : i + pose_chunk], k, settings)
+        ki = k if k.ndim == 2 else k[i : i + pose_chunk]  # per-pose intrinsics
+        r, d = rasterize(vertices, colors, faces, face_valid, poses[i : i + pose_chunk], ki, settings)
         rgbs.append(r)
         depths.append(d)
     return jnp.concatenate(rgbs), jnp.concatenate(depths)

@@ -153,7 +153,7 @@ def bucket_size(m: int, n_neighbors: int, buckets=(4, 8, 16), multiple: int = 1)
     jax.jit,
     static_argnames=(
         "extractor", "layer", "settings", "pose_chunk", "resolution",
-        "mask_scores", "rendering_scale", "device_mesh", "shard_axis",
+        "mask_scores", "rendering_scale", "device_mesh", "shard_axis", "zoom",
     ),
     donate_argnums=(0, 1, 2),
 )
@@ -174,7 +174,7 @@ def cached_refine_update(
     est_scale,
     *,
     extractor, layer, settings, pose_chunk, resolution, mask_scores,
-    rendering_scale, device_mesh=None, shard_axis="model",
+    rendering_scale, device_mesh=None, shard_axis="model", zoom=False,
 ):
     """Miss path, ONE dispatch: render M missing views, featurize them
     together with the query crop, scatter into the cache, gather the
@@ -197,11 +197,11 @@ def cached_refine_update(
     sel_poses = fine_poses[sel_idx]
 
     if device_mesh is None:
-        rgb, depth = render_meshes(
-            v, c, f, fv, new_poses, k_render, settings, pose_chunk=pose_chunk
-        )
-        props, rmasks, _ = _generate_proposals_jit.__wrapped__(
-            rgb, depth, resolution, resolution
+        from freepose_tpu.pipeline.online_pose_estimator import render_view_block
+
+        props, rmasks, (smin, smax, smean) = render_view_block(
+            v, c, f, fv, new_poses, k_render, settings, pose_chunk, resolution,
+            zoom,
         )
         batch = jnp.concatenate([proposal[None].astype(props.dtype), props])
         feats = normalize_feats(
@@ -209,9 +209,9 @@ def cached_refine_update(
         )
         qf = feats[0]
         new_feats = feats[1:]
-        smin, smax, smean = depth_stats.__wrapped__(depth, k_render)
         new_stats = jnp.stack([smin, smax, smean], axis=1)
     else:
+        assert not zoom, "zoom renders do not compose with device_mesh sharding yet"
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
@@ -283,7 +283,7 @@ def cached_refine_hit(
     jax.jit,
     static_argnames=(
         "extractor", "layer", "settings", "pose_chunk", "resolution",
-        "mask_scores", "rendering_scale",
+        "mask_scores", "rendering_scale", "zoom",
     ),
     donate_argnums=(0, 1, 2),
 )
@@ -304,7 +304,7 @@ def cached_refine_update_multi(
     proposal_masks,  # [M, R, R]
     ks, bboxes, est_scales,  # [M, 3, 3], [M, 4], [M]
     *, extractor, layer, settings, pose_chunk, resolution, mask_scores,
-    rendering_scale,
+    rendering_scale, zoom=False,
 ):
     """Multi-object miss path, ONE dispatch for a whole frame: render each
     miss object's views (statically unrolled — objects have different
@@ -314,25 +314,20 @@ def cached_refine_update_multi(
     with fewer misses get extra prefetch, which never changes results (each
     view is an exact function of its grid index)."""
     from freepose_tpu.models.dinov2 import _extract_jit
-    from freepose_tpu.ops.rasterizer import render_meshes
-    from freepose_tpu.pipeline.renderer import _generate_proposals_jit
-    from freepose_tpu.pipeline.template_bank import depth_stats, normalize_feats
+    from freepose_tpu.pipeline.online_pose_estimator import render_view_block
+    from freepose_tpu.pipeline.template_bank import normalize_feats
 
     m = len(feats_bufs)
     b = new_idx.shape[1]
     props_list, rmasks_list, stats_list = [], [], []
     for i in range(m):
         v, c, f, fv = meshes[i]
-        rgb, depth = render_meshes(
+        props, rmasks, (smin, smax, smean) = render_view_block(
             v, c, f, fv, fine_poses[new_idx[i]], k_render, settings,
-            pose_chunk=pose_chunk,
-        )
-        props, rmasks, _ = _generate_proposals_jit.__wrapped__(
-            rgb, depth, resolution, resolution
+            pose_chunk, resolution, zoom,
         )
         props_list.append(props)
         rmasks_list.append(rmasks)
-        smin, smax, smean = depth_stats.__wrapped__(depth, k_render)
         stats_list.append(jnp.stack([smin, smax, smean], axis=1))
 
     batch = jnp.concatenate(

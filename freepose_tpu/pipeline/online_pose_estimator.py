@@ -91,6 +91,7 @@ class OnlinePoseEstimator:
         feature_layer: int = 22,
         fine_cache_capacity: int = 0,
         shard_mesh=None,
+        zoom_renders: bool = False,
     ):
         """When `extractor` (a DinoFeatureExtractor) is given, the refine
         step fuses feature extraction INTO the prepare program (2 dispatches
@@ -139,6 +140,14 @@ class OnlinePoseEstimator:
                     f"'model' mesh axis ({shard_mesh.shape['model']} devices)"
                 )
         self.shard_mesh = shard_mesh
+        # zoom_renders: render each fine view under per-pose ZOOMED
+        # intrinsics (renderer.zoom_intrinsics_for_poses) so the render is
+        # the proposal at native resolution — no crop-upsample. Changes
+        # rescore numerics vs the reference (which resamples BOTH sides the
+        # same way), hence opt-in; see STATUS.md for the A/B.
+        if zoom_renders and shard_mesh is not None:
+            raise ValueError("zoom_renders does not compose with shard_mesh yet")
+        self.zoom_renders = zoom_renders
         # Extra views pre-cached per miss frame by rounding the miss batch up
         # a bucket, filled with predictively-ordered prefetch. Measured at
         # production shapes (2°/frame, v5e): quota 4 and quota 0 have equal
@@ -339,6 +348,7 @@ class OnlinePoseEstimator:
                 jnp.stack([jnp.asarray(mi[1]["est_scale"], jnp.float32) for mi in misses]),
                 settings=self.renderer.settings,
                 pose_chunk=self.renderer.pose_chunk,
+                zoom=self.zoom_renders,
                 **common,
             )
             for j, mi in enumerate(misses):
@@ -403,13 +413,14 @@ class OnlinePoseEstimator:
                 v, c, f, fv, self.renderer.k, self.extractor.params,
                 self.renderer.settings, self.n_neighbors, self.renderer.pose_chunk,
                 self.renderer.resolution, self.extractor, self.feature_layer,
+                self.zoom_renders,
             )
         else:
             sel_poses, sel_idx, valid, props, render_masks, stats = _refine_prepare(
                 self.fine_poses, prev_pose, jnp.float32(neighborhood_deg),
                 v, c, f, fv, self.renderer.k,
                 self.renderer.settings, self.n_neighbors, self.renderer.pose_chunk,
-                self.renderer.resolution,
+                self.renderer.resolution, self.zoom_renders,
             )
             feats = []
             bs = 128
@@ -618,6 +629,7 @@ class OnlinePoseEstimator:
                 settings=self.renderer.settings,
                 pose_chunk=self.renderer.pose_chunk,
                 device_mesh=self.shard_mesh,
+                zoom=self.zoom_renders,
                 **common,
             )
         else:
@@ -633,30 +645,68 @@ class OnlinePoseEstimator:
         return PoseEstimate(tcos, score, jnp.asarray(sel_idx)[local], qf)
 
 
-@partial(jax.jit, static_argnames=("settings", "n_neighbors", "pose_chunk", "resolution"))
+def render_view_block(
+    v, c, f, fv, poses, k_render, settings, pose_chunk, resolution, zoom,
+):
+    """Shared fine-view rendering block (trace-time helper, call inside jit):
+    returns (props [P,3,R,R], masks [P,R,R], (min,max,mean) cloud stats).
+    zoom=False renders the reference full-frame camera and crop-resamples
+    (renderer._generate_proposals_jit); zoom=True renders each pose under
+    zoomed per-pose intrinsics so the render IS the proposal at native
+    resolution (renderer.zoom_intrinsics_for_poses) — the cloud stats use
+    the per-view K, and are identical 3D quantities either way."""
+    from freepose_tpu.ops.rasterizer import render_meshes
+    from freepose_tpu.pipeline.renderer import (
+        DEGENERATE_MASK_MIN_PX, _generate_proposals_jit, zoom_intrinsics_for_poses,
+    )
+    from freepose_tpu.pipeline.template_bank import depth_stats_per_k
+
+    if not zoom:
+        rgb, depth = render_meshes(
+            v, c, f, fv, poses, k_render, settings, pose_chunk=pose_chunk
+        )
+        props, masks, _ = _generate_proposals_jit.__wrapped__(
+            rgb, depth, resolution, resolution
+        )
+        smin, smax, smean = depth_stats.__wrapped__(depth, k_render)
+        return props, masks, (smin, smax, smean)
+    kz = zoom_intrinsics_for_poses.__wrapped__(v, f, fv, poses, k_render, resolution)
+    rgb, depth = render_meshes(v, c, f, fv, poses, kz, settings, pose_chunk=pose_chunk)
+    masks = depth > 0
+    q = resolution // 4
+    fallback = (
+        jnp.zeros((resolution, resolution), bool)
+        .at[q : resolution - q, q : resolution - q]
+        .set(True)
+    )
+    small = jnp.sum(masks, axis=(1, 2)) < DEGENERATE_MASK_MIN_PX
+    masks = jnp.where(small[:, None, None], fallback[None], masks)
+    props = rgb.transpose(0, 3, 1, 2)
+    smin, smax, smean = depth_stats_per_k.__wrapped__(depth, kz)
+    return props, masks, (smin, smax, smean)
+
+
+@partial(jax.jit, static_argnames=("settings", "n_neighbors", "pose_chunk", "resolution", "zoom"))
 def _refine_prepare(
     fine_poses, prev_pose, neighborhood_deg, v, c, f, fv, k_render,
-    settings, n_neighbors, pose_chunk, resolution,
+    settings, n_neighbors, pose_chunk, resolution, zoom=False,
 ):
     """Fused: neighborhood top-k + batched render + proposal crops + per-view
     cloud stats — one program, one dispatch."""
-    from freepose_tpu.ops.rasterizer import render_meshes
-    from freepose_tpu.pipeline.renderer import _generate_proposals_jit
-
     sel_poses, sel_idx, valid = select_neighborhood(
         fine_poses, prev_pose, neighborhood_deg, n_neighbors
     )
-    rgb, depth = render_meshes(v, c, f, fv, sel_poses, k_render, settings, pose_chunk=pose_chunk)
-    props, render_masks, _ = _generate_proposals_jit(rgb, depth, resolution, resolution)
-    stats = depth_stats(depth, k_render)
+    props, render_masks, stats = render_view_block(
+        v, c, f, fv, sel_poses, k_render, settings, pose_chunk, resolution, zoom
+    )
     return sel_poses, sel_idx, valid, props, render_masks, stats
 
 
 @partial(jax.jit, static_argnames=(
-    "settings", "n_neighbors", "pose_chunk", "resolution", "extractor", "layer"))
+    "settings", "n_neighbors", "pose_chunk", "resolution", "extractor", "layer", "zoom"))
 def _refine_prepare_fused(
     fine_poses, prev_pose, neighborhood_deg, v, c, f, fv, k_render, fe_params,
-    settings, n_neighbors, pose_chunk, resolution, extractor, layer,
+    settings, n_neighbors, pose_chunk, resolution, extractor, layer, zoom=False,
 ):
     """_refine_prepare + DINOv2 features on the crops in the SAME program —
     2 dispatches per tracked frame. Extractor params enter as arguments
@@ -665,7 +715,7 @@ def _refine_prepare_fused(
 
     sel_poses, sel_idx, valid, props, render_masks, stats = _refine_prepare.__wrapped__(
         fine_poses, prev_pose, neighborhood_deg, v, c, f, fv, k_render,
-        settings, n_neighbors, pose_chunk, resolution,
+        settings, n_neighbors, pose_chunk, resolution, zoom,
     )
     feats = _extract_jit.__wrapped__(extractor, fe_params, props, layer, "patch")
     return sel_poses, sel_idx, valid, normalize_feats(feats), render_masks, stats

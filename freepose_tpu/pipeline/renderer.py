@@ -90,6 +90,64 @@ def _generate_proposals_jit(rgb: jax.Array, depth: jax.Array, target: int, res: 
     return props, masks, boxes
 
 
+@partial(jax.jit, static_argnames=("res",))
+def zoom_intrinsics_for_poses(
+    v: jax.Array,  # [Vmax, 3] padded (pre-scaled) vertices
+    f: jax.Array,  # [Fmax, 3] padded faces
+    face_valid: jax.Array,  # [Fmax] bool
+    poses: jax.Array,  # [P, 4, 4]
+    k: jax.Array,  # [3, 3] base camera
+    res: int,
+):
+    """Per-pose ZOOMED intrinsics: map each pose's projected-vertex bbox
+    onto the full res×res canvas with crop_resize_pad's convention
+    (isotropic max-side scale, centred) so a render under k_zoom[p] IS the
+    proposal crop at native resolution — the crop-resample step of the
+    reference flow (render full frame -> crop -> upsample,
+    renderer.py:109-130 + online_pose_estimator.py:60-63) disappears and
+    the object is rasterized at the full feature resolution. A mesh's
+    silhouette extremes are projected vertices, so the bbox needs no
+    rasterization. Degenerate projections (behind camera / empty mesh)
+    fall back to the unzoomed k. Returns [P, 3, 3]."""
+    vmask = (
+        jnp.zeros((v.shape[0],), bool)
+        .at[f.reshape(-1)]
+        .set(jnp.repeat(face_valid, 3))
+    )
+
+    def one(pose):
+        pc = v @ pose[:3, :3].T + pose[:3, 3]
+        z = pc[:, 2]
+        ok = vmask & (z > 1e-6)
+        zs = jnp.maximum(z, 1e-6)
+        u = pc[:, 0] / zs * k[0, 0] + k[0, 2]
+        w = pc[:, 1] / zs * k[1, 1] + k[1, 2]
+        big = jnp.float32(1e9)
+        x1 = jnp.clip(jnp.min(jnp.where(ok, u, big)), 0.0, res - 1.0)
+        x2 = jnp.clip(jnp.max(jnp.where(ok, u, -big)), 0.0, res - 1.0)
+        y1 = jnp.clip(jnp.min(jnp.where(ok, w, big)), 0.0, res - 1.0)
+        y2 = jnp.clip(jnp.max(jnp.where(ok, w, -big)), 0.0, res - 1.0)
+        bw = jnp.maximum(x2 - x1, 1.0)
+        bh = jnp.maximum(y2 - y1, 1.0)
+        s = res / jnp.maximum(bw, bh)
+        pad_l = (res - bw * s) / 2.0
+        pad_t = (res - bh * s) / 2.0
+        kz = jnp.array(
+            [
+                [k[0, 0], 0.0, k[0, 2] - x1],
+                [0.0, k[1, 1], k[1, 2] - y1],
+                [0.0, 0.0, 1.0],
+            ],
+            jnp.float32,
+        )
+        kz = kz.at[0].mul(s).at[1].mul(s)
+        kz = kz.at[0, 2].add(pad_l).at[1, 2].add(pad_t)
+        kz = kz.at[2, 2].set(1.0)
+        return jnp.where(jnp.any(ok), kz, k)
+
+    return jax.vmap(one)(poses)
+
+
 def render_template_views(
     mesh: TriMesh,
     n_poses: int = 600,

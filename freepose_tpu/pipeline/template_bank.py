@@ -58,6 +58,27 @@ def depth_stats(depths: jax.Array, k: jax.Array):
     return jax.lax.map(one, depths)
 
 
+@partial(jax.jit, static_argnames=())
+def depth_stats_per_k(depths: jax.Array, ks: jax.Array):
+    """depth_stats with per-view intrinsics [V, 3, 3] (zoomed-render path —
+    the backprojected 3D cloud is the same object geometry whichever zoom
+    rendered it, so downstream z-lift consumes these stats unchanged)."""
+
+    def one(args):
+        depth, k = args
+        pts, valid = backproject_depth(depth, k)
+        big = jnp.float32(1e30)
+        vmin = jnp.min(jnp.where(valid[:, None], pts, big), axis=0)
+        vmax = jnp.max(jnp.where(valid[:, None], pts, -big), axis=0)
+        mean = masked_mean(pts, valid)
+        any_valid = jnp.any(valid)
+        vmin = jnp.where(any_valid, vmin, 0.0)
+        vmax = jnp.where(any_valid, vmax, 0.0)
+        return vmin, vmax, mean
+
+    return jax.lax.map(one, (depths, ks))
+
+
 def normalize_feats(feats: jax.Array) -> jax.Array:
     return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True).clip(1e-12)
 

@@ -57,6 +57,12 @@ def main() -> None:
         "frames featurize only the query crop + newly-entered views",
     )
     ap.add_argument(
+        "--zoom-renders", action="store_true",
+        help="render fine views under per-pose zoomed intrinsics (native-res "
+        "object detail, no crop-upsample). Changes rescore numerics vs the "
+        "reference flow; opt-in — see STATUS.md for the synthetic A/B",
+    )
+    ap.add_argument(
         "--fuse-objects", action="store_true",
         help="fuse all of a frame's cache-hit (resp. cache-miss) objects "
         "into one dispatch. Parity-tested but measured SLOWER than serial "
@@ -94,6 +100,7 @@ def main() -> None:
         extractor=extractor, feature_layer=args.layer,  # fused refine-prepare
         fine_cache_capacity=max(args.fine_cache, args.n_neighbors) if args.fine_cache else 0,
         shard_mesh=shard_mesh,
+        zoom_renders=args.zoom_renders,
     )
 
     by_frame: dict[int, list] = {}
