@@ -292,6 +292,7 @@ def run_refine_bench(args) -> dict:
             feature_fn, bank, renderer, n_coarse_poses=renderer.n_poses,
             n_fine_poses=n_fine, n_neighbors=args.n_neighbors,
             extractor=fe, feature_layer=layer, fine_cache_capacity=cap,
+            zoom_renders=args.zoom,
         )
         if args.prefetch_quota is not None:
             est.prefetch_quota = args.prefetch_quota
@@ -329,6 +330,7 @@ def _parser() -> argparse.ArgumentParser:
     ap.add_argument("--cache", type=int, default=256)
     ap.add_argument("--no-uncached", action="store_true", help="skip the uncached baseline")
     ap.add_argument("--mask-scores", action="store_true")
+    ap.add_argument("--zoom", action="store_true", help="zoomed-K fine renders (see --zoom-renders)")
     ap.add_argument(
         "--prefetch-quota", type=int, default=None,
         help="override OnlinePoseEstimator.prefetch_quota (extra views "
