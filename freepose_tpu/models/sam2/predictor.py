@@ -271,19 +271,31 @@ class Sam2VideoPredictor:
         num_frames = state["num_frames"]
         end = num_frames if max_frames is None else min(num_frames, start_frame_idx + max_frames)
 
-        # Stack per-object init prompts (all objects must share the prompt
-        # frame, like the reference pipeline's frame-0 boxes).
-        prompt_frames = {v[0] for v in state["prompts"].values()}
-        if len(prompt_frames) != 1:
-            raise NotImplementedError("all objects must be prompted on the same frame")
-        prompt_frame = prompt_frames.pop()
+        # Objects group by PROMPT FRAME (the reference supports prompting
+        # different objects on different frames, sam2_video_predictor.py:167);
+        # each group is one vmapped stacked state, stepped once per frame.
+        # Objects not yet prompted at frame t emit no-object logits.
+        groups: dict[int, list[int]] = {}
+        for i in range(n):
+            groups.setdefault(state["prompts"][i][0], []).append(i)
+        if reverse and len(groups) != 1:
+            raise NotImplementedError(
+                "reverse propagation requires a single shared prompt frame"
+            )
+        prompt_frame = min(groups)
 
-        states = jax.tree.map(
-            lambda *xs: jnp.stack(xs), *[init_object_state(self.config) for _ in range(n)]
-        )
-        # Per-object [B=1, P=1, N, 2] prompts, stacked on a leading vmap axis.
-        points = jnp.asarray(np.stack([state["prompts"][i][1] for i in range(n)]))[:, None, None]
-        labels = jnp.asarray(np.stack([state["prompts"][i][2] for i in range(n)]))[:, None, None]
+        def group_prompts(idxs):
+            pts = jnp.asarray(np.stack([state["prompts"][i][1] for i in idxs]))[:, None, None]
+            lbl = jnp.asarray(np.stack([state["prompts"][i][2] for i in idxs]))[:, None, None]
+            return pts, lbl
+
+        def group_states(idxs):
+            return jax.tree.map(
+                lambda *xs: jnp.stack(xs),
+                *[init_object_state(self.config) for _ in idxs],
+            )
+
+        live: dict[int, object] = {}  # prompt_frame -> stacked states
 
         if reverse:
             lo = -1 if max_frames is None else max(prompt_frame - max_frames, -1)
@@ -301,23 +313,43 @@ class Sam2VideoPredictor:
             pyramid, pos = self._frame_pyramid(state, t)
             self._prefetch_frame(state, t + step)
             raw_s2, pos_s2 = pyramid[2], pos[2]
-            if t == prompt_frame:
-                states, out = self._init_step(
-                    self.params, states, pyramid, raw_s2, pos_s2,
-                    jnp.int32(t), jnp.int32(num_frames), points, labels,
+            outs: list[tuple[list[int], dict]] = []
+            if t in groups and t not in live:
+                idxs = groups[t]
+                pts, lbl = group_prompts(idxs)
+                live[t], out_g = self._init_step(
+                    self.params, group_states(idxs), pyramid, raw_s2, pos_s2,
+                    jnp.int32(t), jnp.int32(num_frames), pts, lbl,
                 )
-            elif reverse:
-                states, out = self._track_step_rev(
-                    self.params, states, pyramid, raw_s2, pos_s2, jnp.int32(t), jnp.int32(num_frames)
+                outs.append((idxs, out_g))
+            for pf in sorted(live):
+                if pf == t:
+                    continue  # just initialised this frame
+                step_fn = self._track_step_rev if reverse else self._track_step
+                live[pf], out_g = step_fn(
+                    self.params, live[pf], pyramid, raw_s2, pos_s2,
+                    jnp.int32(t), jnp.int32(num_frames)
                 )
+                outs.append((groups[pf], out_g))
+
+            if len(outs) == 1 and len(outs[0][0]) == n:
+                low_raw = outs[0][1]["pred_masks"][:, 0]
+                high_raw = outs[0][1]["high_res_masks"][:, 0]
             else:
-                states, out = self._track_step(
-                    self.params, states, pyramid, raw_s2, pos_s2, jnp.int32(t), jnp.int32(num_frames)
-                )
+                # Assemble all objects in index order; objects whose prompt
+                # frame has not arrived yet get no-object logits.
+                l0 = outs[0][1]["pred_masks"][:, 0]
+                h0 = outs[0][1]["high_res_masks"][:, 0]
+                low_raw = jnp.full((n,) + l0.shape[1:], -32.0, l0.dtype)
+                high_raw = jnp.full((n,) + h0.shape[1:], -32.0, h0.dtype)
+                for idxs, out_g in outs:
+                    ii = jnp.asarray(idxs)
+                    low_raw = low_raw.at[ii].set(out_g["pred_masks"][:, 0])
+                    high_raw = high_raw.at[ii].set(out_g["high_res_masks"][:, 0])
             # Resize + winner-take-all (reference sam2_base.py:811-829) +
             # optional threshold, one program.
             low_j, high_j = postprocess_video_masks(
-                out["pred_masks"][:, 0], out["high_res_masks"][:, 0],
+                low_raw, high_raw,
                 state["orig_hw"], non_overlap_masks, binarize,
             )
             for a in (low_j, high_j):

@@ -217,3 +217,55 @@ def test_image_predictor_batched_boxes_match_sequential(image_predictor):
         m_s, iou_s, lg_s = image_predictor.predict(box=boxes[i], multimask_output=False)
         np.testing.assert_array_equal(m_b[i], m_s[0])
         np.testing.assert_allclose(iou_b[i], iou_s[0], atol=1e-5)
+
+
+def test_video_per_object_prompt_frames(video_predictor):
+    """Objects prompted on DIFFERENT frames (reference
+    sam2_video_predictor.py:167 allows arbitrary prompt frames): each
+    object's track must equal its solo run started at its own frame, and
+    pre-prompt frames must emit no-object masks."""
+    rng = np.random.default_rng(6)
+    frames = (rng.random((5, 64, 64, 3)) * 255).astype(np.uint8)
+
+    state = video_predictor.init_state(frames)
+    state = video_predictor.add_new_points_or_box(state, 0, obj_id=0, box=np.array([5, 5, 30, 30]))
+    state = video_predictor.add_new_points_or_box(
+        state, 2, obj_id=1, points=np.array([[40.0, 40.0]]), labels=np.array([1])
+    )
+    outs = list(video_predictor.propagate_in_video(state))
+    assert [o[0] for o in outs] == [0, 1, 2, 3, 4]
+
+    solo0_state = video_predictor.init_state(frames)
+    solo0_state = video_predictor.add_new_points_or_box(
+        solo0_state, 0, obj_id=0, box=np.array([5, 5, 30, 30])
+    )
+    solo0 = {t: low for t, _, low, _ in video_predictor.propagate_in_video(solo0_state)}
+
+    solo1_state = video_predictor.init_state(frames)
+    solo1_state = video_predictor.add_new_points_or_box(
+        solo1_state, 2, obj_id=1, points=np.array([[40.0, 40.0]]), labels=np.array([1])
+    )
+    solo1 = {t: low for t, _, low, _ in video_predictor.propagate_in_video(solo1_state)}
+
+    for t, obj_ids, low, high in outs:
+        assert obj_ids == [0, 1]
+        np.testing.assert_allclose(low[0], solo0[t][0], atol=1e-4)
+        if t < 2:
+            # Not yet prompted: no-object logits, thresholding gives empty.
+            assert (low[1] < 0).all() and (high[1] < 0).all()
+        else:
+            np.testing.assert_allclose(low[1], solo1[t][0], atol=1e-4)
+
+
+def test_video_per_object_prompt_frames_binarized(video_predictor):
+    rng = np.random.default_rng(8)
+    frames = (rng.random((4, 48, 48, 3)) * 255).astype(np.uint8)
+    state = video_predictor.init_state(frames)
+    state = video_predictor.add_new_points_or_box(state, 1, obj_id=0, box=np.array([4, 4, 24, 24]))
+    state = video_predictor.add_new_points_or_box(state, 3, obj_id=1, box=np.array([10, 10, 40, 40]))
+    outs = list(video_predictor.propagate_in_video(state, binarize=True))
+    assert [o[0] for o in outs] == [1, 2, 3]
+    for t, _, low, high in outs:
+        assert low.dtype == bool and high.dtype == bool
+        if t < 3:
+            assert not high[1].any()
