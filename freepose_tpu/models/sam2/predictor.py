@@ -245,8 +245,20 @@ class Sam2VideoPredictor:
         pad = cap - pts.shape[0]
         pts = np.pad(pts, ((0, pad), (0, 0)))
         lbl = np.pad(lbl, (0, pad), constant_values=-10)  # -10 = padding points
-        state["obj_ids"].append(obj_id)
-        state["prompts"][len(state["obj_ids"]) - 1] = (frame_idx, pts.astype(np.float32), lbl)
+        if obj_id in state["obj_ids"]:
+            # Correction: re-prompting an existing object replaces its prompt
+            # — the next propagate_in_video rebuilds every object's state
+            # from its prompt, so the new prompt frame becomes the object's
+            # conditioning frame with fresh memory (the reference instead
+            # KEEPS earlier conditioning frames and clears non-cond memory
+            # around the correction, sam2_video_predictor.py:940-957; with a
+            # single-cond-slot state, full re-conditioning is the exact
+            # functional analogue for the correct-then-repropagate flow).
+            idx = state["obj_ids"].index(obj_id)
+        else:
+            state["obj_ids"].append(obj_id)
+            idx = len(state["obj_ids"]) - 1
+        state["prompts"][idx] = (frame_idx, pts.astype(np.float32), lbl)
         state["n_objects"] = len(state["obj_ids"])
         return state
 

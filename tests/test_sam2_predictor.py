@@ -269,3 +269,27 @@ def test_video_per_object_prompt_frames_binarized(video_predictor):
         assert low.dtype == bool and high.dtype == bool
         if t < 3:
             assert not high[1].any()
+
+
+def test_video_reprompt_correction(video_predictor):
+    """Re-prompting an existing object (the reference's correction flow,
+    sam2_video_predictor.py:940-957) replaces its prompt: re-propagation
+    equals a fresh run prompted at the corrected frame."""
+    rng = np.random.default_rng(9)
+    frames = (rng.random((4, 48, 48, 3)) * 255).astype(np.uint8)
+    state = video_predictor.init_state(frames)
+    state = video_predictor.add_new_points_or_box(state, 0, obj_id=5, box=np.array([4, 4, 20, 20]))
+    _ = list(video_predictor.propagate_in_video(state))
+    # Correct the same object on frame 1 with a different box.
+    state = video_predictor.add_new_points_or_box(state, 1, obj_id=5, box=np.array([10, 10, 34, 34]))
+    assert state["n_objects"] == 1 and state["obj_ids"] == [5]
+    corrected = {t: low for t, _, low, _ in video_predictor.propagate_in_video(state)}
+
+    fresh_state = video_predictor.init_state(frames)
+    fresh_state = video_predictor.add_new_points_or_box(
+        fresh_state, 1, obj_id=5, box=np.array([10, 10, 34, 34])
+    )
+    fresh = {t: low for t, _, low, _ in video_predictor.propagate_in_video(fresh_state)}
+    assert corrected.keys() == fresh.keys()
+    for t in fresh:
+        np.testing.assert_allclose(corrected[t], fresh[t], atol=1e-5)
