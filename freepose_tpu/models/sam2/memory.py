@@ -33,6 +33,11 @@ class MemoryConfig:
     mem_dim: int = 64  # memory channel dim (kv input to cross attention)
     num_maskmem: int = 7
     max_obj_ptrs: int = 16
+    # Non-cond memory frames taken from every r-th frame (+ always the last
+    # frame), the reference's long-video memory subsampling
+    # (memory_temporal_stride_for_eval, sam2_base.py:528-563). r=1 keeps the
+    # consecutive-frame ring; object pointers are stride-independent.
+    memory_temporal_stride: int = 1
     # memory encoder
     enc_hidden: int = 256
     fuser_layers: int = 2

@@ -74,7 +74,7 @@ def init_object_state(cfg: Sam2VideoConfig) -> ObjectState:
         ptrs=jnp.zeros((m.max_obj_ptrs, m.hidden_size), jnp.float32),
         ptr_frame=jnp.full((m.max_obj_ptrs,), -1, jnp.int32),
         ptr_valid=jnp.zeros((m.max_obj_ptrs,), bool),
-        ring_pos=jnp.int32(1),
+        ring_pos=jnp.int32(1 if m.memory_temporal_stride == 1 else 2),
         ptr_ring_pos=jnp.int32(1),
     )
 
@@ -126,10 +126,28 @@ class Sam2VideoModel(nn.Module):
         # Spatial memories: offsets and temporal-position rows.
         offsets = sign * (frame_idx - state.maskmem_frame)  # [S]
         is_cond = jnp.arange(m.num_maskmem) == 0
-        valid = state.maskmem_valid & (is_cond | ((offsets >= 1) & (offsets <= m.num_maskmem - 1)))
+        r = m.memory_temporal_stride
+        if r == 1:
+            valid = state.maskmem_valid & (is_cond | ((offsets >= 1) & (offsets <= m.num_maskmem - 1)))
+            t_rel = offsets
+        else:
+            # Stride-r selection (reference sam2_base.py:533-558), in
+            # "virtual time" v = sign*frame so one formula covers forward and
+            # reverse (floor division handles the reverse ceil): memories =
+            # the last frame (t_rel 1) + frames anchor - k*r for k=0.. with
+            # anchor = ((v-2)//r)*r, t_rel = 2+k.
+            v = sign * frame_idx
+            vj = sign * state.maskmem_frame
+            anchor = ((v - 2) // r) * r
+            is_last = vj == v - 1
+            on_grid = (jnp.mod(vj, r) == 0) & (vj <= anchor)
+            t_rel = jnp.where(is_last, 1, 2 + (anchor - vj) // r)
+            valid = state.maskmem_valid & (
+                is_cond | is_last | (on_grid & (t_rel <= m.num_maskmem - 1))
+            )
         # Conditioning slot uses tpos row [-1] (reference/HF index offset-1
-        # with offset 0); non-cond uses row offset-1.
-        tpos_idx = jnp.where(is_cond, m.num_maskmem - 1, jnp.clip(offsets - 1, 0, m.num_maskmem - 1))
+        # with offset 0); non-cond uses row t_rel-1.
+        tpos_idx = jnp.where(is_cond, m.num_maskmem - 1, jnp.clip(t_rel - 1, 0, m.num_maskmem - 1))
         from freepose_tpu.models.sam2.hiera import sine_position_encoding
 
         spatial_pos = sine_position_encoding((c.mem_grid, c.mem_grid), m.mem_dim).reshape(hw, m.mem_dim)
@@ -293,7 +311,7 @@ class Sam2VideoModel(nn.Module):
                 ptr_frame=state.ptr_frame.at[0].set(frame_idx),
                 ptr_valid=state.ptr_valid.at[0].set(True),
             )
-        else:
+        elif m.memory_temporal_stride == 1:
             slot = state.ring_pos
             pslot = state.ptr_ring_pos
             new_state = state._replace(
@@ -301,6 +319,35 @@ class Sam2VideoModel(nn.Module):
                 maskmem_frame=state.maskmem_frame.at[slot].set(frame_idx),
                 maskmem_valid=state.maskmem_valid.at[slot].set(True),
                 ring_pos=jnp.where(slot + 1 >= m.num_maskmem, 1, slot + 1),
+                ptrs=state.ptrs.at[pslot].set(pointer[0]),
+                ptr_frame=state.ptr_frame.at[pslot].set(frame_idx),
+                ptr_valid=state.ptr_valid.at[pslot].set(True),
+                ptr_ring_pos=jnp.where(pslot + 1 >= m.max_obj_ptrs, 1, pslot + 1),
+            )
+        else:
+            # Stride-r layout: slot 1 always holds the LAST frame; slots
+            # 2..num_maskmem-1 ring over r-grid frames. The frame evicted
+            # from the last slot is pushed into the ring iff it lies on the
+            # r-grid (each frame passes through the last slot exactly once,
+            # so the ring holds the newest num_maskmem-2 grid frames — the
+            # set _gather_memory selects). Pointers are stride-independent.
+            r = m.memory_temporal_stride
+            old_mem = state.maskmem[1]
+            old_frame = state.maskmem_frame[1]
+            push = state.maskmem_valid[1] & (jnp.mod(old_frame, r) == 0)
+            slot = state.ring_pos  # in [2, num_maskmem-1]
+            tgt = jnp.where(push, slot, 1)  # non-push: no-op rewrite of slot 1
+            maskmem = state.maskmem.at[tgt].set(old_mem)
+            mframe = state.maskmem_frame.at[tgt].set(old_frame)
+            mvalid = state.maskmem_valid.at[tgt].set(state.maskmem_valid[1])
+            pslot = state.ptr_ring_pos
+            new_state = state._replace(
+                maskmem=maskmem.at[1].set(mem_tokens),
+                maskmem_frame=mframe.at[1].set(frame_idx),
+                maskmem_valid=mvalid.at[1].set(True),
+                ring_pos=jnp.where(
+                    push, jnp.where(slot + 1 >= m.num_maskmem, 2, slot + 1), slot
+                ),
                 ptrs=state.ptrs.at[pslot].set(pointer[0]),
                 ptr_frame=state.ptr_frame.at[pslot].set(frame_idx),
                 ptr_valid=state.ptr_valid.at[pslot].set(True),
