@@ -454,3 +454,72 @@ def zoedepth_from_hf(sd: dict, num_layers: int = 24, reassemble_factors=(4, 2, 1
     params["clb"] = {"mlp1": _conv(sd, f"{mh}.conditional_log_binomial.mlp.0"),
                      "mlp2": _conv(sd, f"{mh}.conditional_log_binomial.mlp.2")}
     return params
+
+
+def cotracker2_from_hub(sd: dict, depth: int = 6) -> dict:
+    """facebookresearch/co-tracker `cotracker2` torch.hub state dict ->
+    CoTracker2 Flax params (models/cotracker2.py).
+
+    Hub layout (CoTracker2 model, reference tracking_refiner.py:24):
+    fnet.{conv1, layer{1..4}.{0,1}.{conv1, conv2, downsample.0}, conv2,
+    conv3}, updateformer.{input_transform, virual_tracks [sic],
+    time_blocks.i.{attn.to_q/to_kv/to_out, mlp.fc1/fc2},
+    space_{virtual,point2virtual,virtual2point}_blocks.i (cross blocks add
+    norm_context), flow_head}, norm, track_feat_updater.0, vis_predictor.0.
+    Instance norms and the affine-free pre-LayerNorms carry no params; the
+    time_emb / pos_emb buffers are deterministic and recomputed.
+    """
+    sd = {k.removeprefix("model."): v for k, v in sd.items()}
+
+    def res_block(p, down):
+        out = {"conv1": _conv(sd, f"{p}.conv1"), "conv2": _conv(sd, f"{p}.conv2")}
+        if down:
+            out["down"] = _conv(sd, f"{p}.downsample.0")
+        return out
+
+    fnet = {"conv1": _conv(sd, "fnet.conv1"), "conv2": _conv(sd, "fnet.conv2"),
+            "conv3": _conv(sd, "fnet.conv3")}
+    for stage in range(1, 5):
+        for blk in range(2):
+            fnet[f"layer{stage}_{blk}"] = res_block(
+                f"fnet.layer{stage}.{blk}", down=(stage > 1 and blk == 0)
+            )
+
+    def attn(p):
+        return {"to_q": _dense(sd, f"{p}.to_q"), "to_kv": _dense(sd, f"{p}.to_kv"),
+                "to_out": _dense(sd, f"{p}.to_out")}
+
+    def attn_block(p):
+        return {"attn": attn(f"{p}.attn"),
+                "mlp": {"fc1": _dense(sd, f"{p}.mlp.fc1"), "fc2": _dense(sd, f"{p}.mlp.fc2")}}
+
+    def cross_block(p):
+        return {"cross_attn": attn(f"{p}.cross_attn"),
+                "norm_context": _layernorm(sd, f"{p}.norm_context"),
+                "mlp": {"fc1": _dense(sd, f"{p}.mlp.fc1"), "fc2": _dense(sd, f"{p}.mlp.fc2")}}
+
+    layers = []
+    for i in range(depth):
+        layers.append({
+            "time": attn_block(f"updateformer.time_blocks.{i}"),
+            "virtual2point": cross_block(f"updateformer.space_virtual2point_blocks.{i}"),
+            "virtual": attn_block(f"updateformer.space_virtual_blocks.{i}"),
+            "point2virtual": cross_block(f"updateformer.space_point2virtual_blocks.{i}"),
+        })
+
+    # released code spells the param "virual_tracks"
+    virt_key = "updateformer.virual_tracks" if "updateformer.virual_tracks" in sd \
+        else "updateformer.virtual_tracks"
+    updateformer = {
+        "input_transform": _dense(sd, "updateformer.input_transform"),
+        "flow_head": _dense(sd, "updateformer.flow_head"),
+        "virtual_tracks": _t(sd[virt_key]).reshape(-1, 1, _t(sd[virt_key]).shape[-1]),
+        "layers": stack_layers(layers),
+    }
+    return {
+        "fnet": fnet,
+        "updateformer": updateformer,
+        "norm": {"scale": _t(sd["norm.weight"]), "bias": _t(sd["norm.bias"])},
+        "track_feat_updater": _dense(sd, "track_feat_updater.0"),
+        "vis_predictor": _dense(sd, "vis_predictor.0"),
+    }

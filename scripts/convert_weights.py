@@ -37,7 +37,7 @@ def main() -> None:
     ap.add_argument("--kind", required=True, choices=[
         "dinov2-hub", "dinov2-hf", "clip-openclip", "clip-hf",
         "swin-hf", "bert-hf", "grounding-dino-hf", "sam2-image-hf", "sam2-video-hf",
-        "zoedepth-hf",
+        "zoedepth-hf", "cotracker2-hub",
     ])
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--out", required=True)
@@ -68,6 +68,8 @@ def main() -> None:
         )
     elif args.kind == "zoedepth-hf":
         params = C.zoedepth_from_hf(sd, num_layers=args.layers)
+    elif args.kind == "cotracker2-hub":
+        params = C.cotracker2_from_hub(sd)
     elif args.kind == "sam2-image-hf":
         params = S.sam2_image_model_from_hf(sd, total_blocks=args.total_blocks)
     elif args.kind == "sam2-video-hf":

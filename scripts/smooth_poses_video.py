@@ -49,6 +49,12 @@ def main() -> None:
     ap.add_argument("--mesh-dir", required=True)
     ap.add_argument("--out", default=None)
     ap.add_argument("--weights", default=None, help="DINOv2-B params (.npz)")
+    ap.add_argument("--tracker", default="zncc", choices=["zncc", "cotracker2"],
+                    help="point tracker: weight-free ZNCC chaining (default) or the "
+                         "released CoTracker2 architecture (needs --tracker-weights "
+                         "from scripts/convert_weights.py --kind cotracker2-hub)")
+    ap.add_argument("--tracker-weights", default=None,
+                    help="converted CoTracker2 params (.npz)")
     ap.add_argument("--interval", type=int, default=12)
     ap.add_argument("--keep-coarse-translation", action="store_true", default=True)
     args = ap.parse_args()
@@ -64,8 +70,17 @@ def main() -> None:
 
     extractor = load_dino_extractor(args.weights, model="vitb")
     feature_fn = lambda imgs: extractor(imgs, layer=None, feature_type="patch")
+    if args.tracker == "cotracker2":
+        from freepose_tpu.models.cotracker2 import COTRACKER2, CoTracker2Predictor
+        from scripts.common import load_params
+
+        params = (load_params(args.tracker_weights) if args.tracker_weights
+                  else CoTracker2Predictor.init_params(COTRACKER2))
+        tracker = CoTracker2Predictor(params)
+    else:
+        tracker = PointTracker(mode="correlation")
     refiner = TrackingRefiner(
-        feature_fn=feature_fn, tracker=PointTracker(mode="correlation"),
+        feature_fn=feature_fn, tracker=tracker,
         extractor=extractor, feature_layer=None,  # fused one-dispatch confidence
     )
 

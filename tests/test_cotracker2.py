@@ -1,0 +1,531 @@
+"""CoTracker2 released-architecture parity tests.
+
+No CoTracker checkpoint or reference code ships on this image (the hub model
+at reference tracking_refiner.py:24 needs network egress), so parity is
+validated against a torch TWIN of the published modules built here from the
+released architecture: identical state-dict key names, module topology and
+forward semantics (grid_sample border sampling, align_corners interpolation,
+instance norms, tanh-GELU MLPs, RAFT window ordering). The twin's randomly
+initialised state dict runs through the real converter
+(convert.cotracker2_from_hub), which both pins the expected checkpoint key
+layout and checks converted numerics end-to-end.
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+from torch import nn  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from freepose_tpu.models import convert  # noqa: E402
+from freepose_tpu.models.cotracker2 import (  # noqa: E402
+    COTRACKER2,
+    COTRACKER2_TEST,
+    BasicEncoder,
+    CoTracker2,
+    CoTracker2Predictor,
+    EfficientUpdateFormer,
+    flow_embedding,
+    pos_embedding_2d,
+    time_embedding,
+)
+
+CFG = COTRACKER2_TEST
+
+
+# ---------------------------------------------------------------------------
+# Torch twin (published layout — cotracker/models/core/*)
+# ---------------------------------------------------------------------------
+
+class TResidualBlock(nn.Module):
+    def __init__(self, in_planes, planes, stride=1):
+        super().__init__()
+        self.conv1 = nn.Conv2d(in_planes, planes, 3, padding=1, stride=stride)
+        self.conv2 = nn.Conv2d(planes, planes, 3, padding=1)
+        self.relu = nn.ReLU(inplace=True)
+        self.norm1 = nn.InstanceNorm2d(planes)
+        self.norm2 = nn.InstanceNorm2d(planes)
+        if stride == 1:
+            self.downsample = None
+        else:
+            self.norm3 = nn.InstanceNorm2d(planes)
+            self.downsample = nn.Sequential(
+                nn.Conv2d(in_planes, planes, 1, stride=stride), self.norm3
+            )
+
+    def forward(self, x):
+        y = self.relu(self.norm1(self.conv1(x)))
+        y = self.relu(self.norm2(self.conv2(y)))
+        if self.downsample is not None:
+            x = self.downsample(x)
+        return self.relu(x + y)
+
+
+class TBasicEncoder(nn.Module):
+    def __init__(self, output_dim=128, stride=4):
+        super().__init__()
+        self.stride = stride
+        self.in_planes = output_dim // 2
+        self.norm1 = nn.InstanceNorm2d(self.in_planes)
+        self.norm2 = nn.InstanceNorm2d(output_dim * 2)
+        self.conv1 = nn.Conv2d(3, self.in_planes, 7, stride=2, padding=3)
+        self.relu1 = nn.ReLU(inplace=True)
+        self.layer1 = self._make_layer(output_dim // 2, stride=1)
+        self.layer2 = self._make_layer(output_dim // 4 * 3, stride=2)
+        self.layer3 = self._make_layer(output_dim, stride=2)
+        self.layer4 = self._make_layer(output_dim, stride=2)
+        self.conv2 = nn.Conv2d(output_dim * 3 + output_dim // 4, output_dim * 2, 3, padding=1)
+        self.relu2 = nn.ReLU(inplace=True)
+        self.conv3 = nn.Conv2d(output_dim * 2, output_dim, 1)
+
+    def _make_layer(self, dim, stride=1):
+        layer1 = TResidualBlock(self.in_planes, dim, stride=stride)
+        layer2 = TResidualBlock(dim, dim, stride=1)
+        self.in_planes = dim
+        return nn.Sequential(layer1, layer2)
+
+    def forward(self, x):
+        _, _, H, W = x.shape
+        x = self.relu1(self.norm1(self.conv1(x)))
+        a = self.layer1(x)
+        b = self.layer2(a)
+        c = self.layer3(b)
+        d = self.layer4(c)
+
+        def up(t):
+            return F.interpolate(
+                t, (H // self.stride, W // self.stride), mode="bilinear", align_corners=True
+            )
+
+        x = self.conv2(torch.cat([up(a), up(b), up(c), up(d)], dim=1))
+        x = self.relu2(self.norm2(x))
+        return self.conv3(x)
+
+
+class TAttention(nn.Module):
+    def __init__(self, query_dim, context_dim=None, num_heads=8, dim_head=48, qkv_bias=False):
+        super().__init__()
+        inner_dim = dim_head * num_heads
+        context_dim = query_dim if context_dim is None else context_dim
+        self.scale = dim_head**-0.5
+        self.heads = num_heads
+        self.to_q = nn.Linear(query_dim, inner_dim, bias=qkv_bias)
+        self.to_kv = nn.Linear(context_dim, inner_dim * 2, bias=qkv_bias)
+        self.to_out = nn.Linear(inner_dim, query_dim)
+
+    def forward(self, x, context=None, attn_bias=None):
+        B, N1, C = x.shape
+        h = self.heads
+        q = self.to_q(x).reshape(B, N1, h, C // h).permute(0, 2, 1, 3)
+        context = x if context is None else context
+        k, v = self.to_kv(context).chunk(2, dim=-1)
+        N2 = context.shape[1]
+        k = k.reshape(B, N2, h, C // h).permute(0, 2, 1, 3)
+        v = v.reshape(B, N2, h, C // h).permute(0, 2, 1, 3)
+        sim = (q @ k.transpose(-2, -1)) * self.scale
+        if attn_bias is not None:
+            sim = sim + attn_bias
+        attn = sim.softmax(dim=-1)
+        x = (attn @ v).transpose(1, 2).reshape(B, N1, C)
+        return self.to_out(x)
+
+
+class TMlp(nn.Module):
+    def __init__(self, dim, hidden):
+        super().__init__()
+        self.fc1 = nn.Linear(dim, hidden)
+        self.act = nn.GELU(approximate="tanh")
+        self.fc2 = nn.Linear(hidden, dim)
+
+    def forward(self, x):
+        return self.fc2(self.act(self.fc1(x)))
+
+
+class TAttnBlock(nn.Module):
+    def __init__(self, hidden_size, num_heads, mlp_ratio=4.0):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(hidden_size, elementwise_affine=False, eps=1e-6)
+        self.attn = TAttention(
+            hidden_size, num_heads=num_heads, dim_head=hidden_size // num_heads, qkv_bias=True
+        )
+        self.norm2 = nn.LayerNorm(hidden_size, elementwise_affine=False, eps=1e-6)
+        self.mlp = TMlp(hidden_size, int(hidden_size * mlp_ratio))
+
+    def forward(self, x):
+        x = x + self.attn(self.norm1(x))
+        return x + self.mlp(self.norm2(x))
+
+
+class TCrossAttnBlock(nn.Module):
+    def __init__(self, hidden_size, context_dim, num_heads, mlp_ratio=4.0):
+        super().__init__()
+        self.norm1 = nn.LayerNorm(hidden_size, elementwise_affine=False, eps=1e-6)
+        self.norm_context = nn.LayerNorm(hidden_size)
+        self.cross_attn = TAttention(
+            hidden_size, context_dim=context_dim, num_heads=num_heads,
+            dim_head=hidden_size // num_heads, qkv_bias=True,
+        )
+        self.norm2 = nn.LayerNorm(hidden_size, elementwise_affine=False, eps=1e-6)
+        self.mlp = TMlp(hidden_size, int(hidden_size * mlp_ratio))
+
+    def forward(self, x, context, mask=None):
+        attn_bias = None
+        if mask is not None:
+            if mask.shape[1] == x.shape[1]:
+                mask = mask[:, None, :, None].expand(-1, self.cross_attn.heads, -1, context.shape[1])
+            else:
+                mask = mask[:, None, None].expand(-1, self.cross_attn.heads, x.shape[1], -1)
+            max_neg_value = -torch.finfo(x.dtype).max
+            # .to(dtype) first: expanded-bool-view * f64 scalar is buggy on CPU
+            attn_bias = (~mask).to(x.dtype) * max_neg_value
+        x = x + self.cross_attn(self.norm1(x), context=self.norm_context(context), attn_bias=attn_bias)
+        return x + self.mlp(self.norm2(x))
+
+
+class TEfficientUpdateFormer(nn.Module):
+    def __init__(self, space_depth, time_depth, input_dim, hidden_size, num_heads,
+                 output_dim, num_virtual_tracks):
+        super().__init__()
+        self.input_transform = nn.Linear(input_dim, hidden_size)
+        self.flow_head = nn.Linear(hidden_size, output_dim)
+        self.num_virtual_tracks = num_virtual_tracks
+        self.virual_tracks = nn.Parameter(torch.randn(1, num_virtual_tracks, 1, hidden_size))
+        self.time_blocks = nn.ModuleList(
+            [TAttnBlock(hidden_size, num_heads) for _ in range(time_depth)]
+        )
+        self.space_virtual_blocks = nn.ModuleList(
+            [TAttnBlock(hidden_size, num_heads) for _ in range(space_depth)]
+        )
+        self.space_point2virtual_blocks = nn.ModuleList(
+            [TCrossAttnBlock(hidden_size, hidden_size, num_heads) for _ in range(space_depth)]
+        )
+        self.space_virtual2point_blocks = nn.ModuleList(
+            [TCrossAttnBlock(hidden_size, hidden_size, num_heads) for _ in range(space_depth)]
+        )
+
+    def forward(self, input_tensor, mask=None):
+        tokens = self.input_transform(input_tensor)
+        B, _, T, _ = tokens.shape
+        virtual_tokens = self.virual_tracks.repeat(B, 1, T, 1)
+        tokens = torch.cat([tokens, virtual_tokens], dim=1)
+        _, N, _, _ = tokens.shape
+        j = 0
+        for i in range(len(self.time_blocks)):
+            time_tokens = tokens.contiguous().view(B * N, T, -1)
+            time_tokens = self.time_blocks[i](time_tokens)
+            tokens = time_tokens.view(B, N, T, -1)
+            if i % (len(self.time_blocks) // len(self.space_virtual_blocks)) == 0:
+                space_tokens = tokens.permute(0, 2, 1, 3).contiguous().view(B * T, N, -1)
+                point_tokens = space_tokens[:, : N - self.num_virtual_tracks]
+                virtual_tokens = space_tokens[:, N - self.num_virtual_tracks :]
+                virtual_tokens = self.space_virtual2point_blocks[j](virtual_tokens, point_tokens, mask=mask)
+                virtual_tokens = self.space_virtual_blocks[j](virtual_tokens)
+                point_tokens = self.space_point2virtual_blocks[j](point_tokens, virtual_tokens, mask=mask)
+                space_tokens = torch.cat([point_tokens, virtual_tokens], dim=1)
+                tokens = space_tokens.view(B, T, N, -1).permute(0, 2, 1, 3)
+                j += 1
+        tokens = tokens[:, : N - self.num_virtual_tracks]
+        return self.flow_head(tokens)
+
+
+def t_bilinear_sampler(input, coords, padding_mode="border"):
+    """Published bilinear_sampler: pixel coords (x, y) -> grid_sample with
+    align_corners=True."""
+    H, W = input.shape[-2:]
+    x = coords[..., 0] * (2.0 / max(W - 1, 1)) - 1.0
+    y = coords[..., 1] * (2.0 / max(H - 1, 1)) - 1.0
+    grid = torch.stack([x, y], dim=-1)
+    return F.grid_sample(input, grid, align_corners=True, padding_mode=padding_mode)
+
+
+class TCorrBlock:
+    def __init__(self, fmaps, num_levels, radius):
+        # fmaps [S, C, H, W]
+        self.num_levels = num_levels
+        self.radius = radius
+        self.C = fmaps.shape[1]
+        self.fmaps_pyramid = [fmaps]
+        for _ in range(num_levels - 1):
+            fmaps = F.avg_pool2d(fmaps, 2, stride=2)
+            self.fmaps_pyramid.append(fmaps)
+
+    def corr(self, targets):
+        # targets [S, N, C]
+        self.corrs_pyramid = []
+        for fmaps in self.fmaps_pyramid:
+            S, C, H, W = fmaps.shape
+            corrs = torch.matmul(targets, fmaps.view(S, C, H * W))
+            self.corrs_pyramid.append(corrs.view(S, -1, H, W) / torch.tensor(float(C), dtype=targets.dtype).sqrt())
+
+    def sample(self, coords):
+        # coords [S, N, 2] -> [S, N, L * (2r+1)^2]
+        r = self.radius
+        S, N, _ = coords.shape
+        out_pyramid = []
+        for i, corrs in enumerate(self.corrs_pyramid):
+            _, _, H, W = corrs.shape
+            dx = torch.linspace(-r, r, 2 * r + 1, dtype=coords.dtype)
+            dy = torch.linspace(-r, r, 2 * r + 1, dtype=coords.dtype)
+            delta = torch.stack(torch.meshgrid(dy, dx, indexing="ij"), axis=-1)
+            centroid = coords.reshape(S * N, 1, 1, 2) / 2**i
+            sampled = t_bilinear_sampler(
+                corrs.reshape(S * N, 1, H, W), centroid + delta.view(1, 2 * r + 1, 2 * r + 1, 2)
+            )
+            out_pyramid.append(sampled.view(S, N, -1))
+        return torch.cat(out_pyramid, dim=-1)
+
+
+def t_get_2d_embedding(xy, C):
+    B, N, _ = xy.shape
+    x, y = xy[:, :, 0:1], xy[:, :, 1:2]
+    div_term = (torch.arange(0, C, 2, dtype=xy.dtype) * (1000.0 / C)).reshape(1, 1, C // 2)
+    pe_x = torch.zeros(B, N, C, dtype=xy.dtype)
+    pe_x[:, :, 0::2] = torch.sin(x * div_term)
+    pe_x[:, :, 1::2] = torch.cos(x * div_term)
+    pe_y = torch.zeros(B, N, C, dtype=xy.dtype)
+    pe_y[:, :, 0::2] = torch.sin(y * div_term)
+    pe_y[:, :, 1::2] = torch.cos(y * div_term)
+    return torch.cat([xy, pe_x, pe_y], dim=2)
+
+
+class TCoTracker2(nn.Module):
+    """Twin of the core model (single window forward + sliding windows),
+    with the published parameter names."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        self.cfg = cfg
+        self.fnet = TBasicEncoder(output_dim=cfg.latent_dim, stride=cfg.stride)
+        d = 2 * cfg.corr_radius + 1
+        self.updateformer = TEfficientUpdateFormer(
+            space_depth=cfg.depth, time_depth=cfg.depth, input_dim=cfg.input_dim,
+            hidden_size=cfg.hidden_size, num_heads=cfg.num_heads,
+            output_dim=cfg.latent_dim + 2, num_virtual_tracks=cfg.num_virtual_tracks,
+        )
+        self.norm = nn.GroupNorm(1, cfg.latent_dim)
+        self.track_feat_updater = nn.Sequential(nn.Linear(cfg.latent_dim, cfg.latent_dim), nn.GELU())
+        self.vis_predictor = nn.Sequential(nn.Linear(cfg.latent_dim, 1))
+
+    def forward_window(self, fmaps, coords, track_feat, vis, track_mask, iters):
+        # fmaps [S, C, Hf, Wf]; coords [S, N, 2] feature px; track_feat [S, N, C]
+        cfg = self.cfg
+        S, N = coords.shape[:2]
+        Hf, Wf = fmaps.shape[-2:]
+        corr_block = TCorrBlock(fmaps, cfg.corr_levels, cfg.corr_radius)
+        dt = fmaps.dtype
+        pos_emb = torch.tensor(pos_embedding_2d(cfg.input_dim, (Hf, Wf)), dtype=dt)  # [H, W, E]
+        sampled_pos = t_bilinear_sampler(
+            pos_emb.permute(2, 0, 1)[None], coords[0][None, None], padding_mode="zeros"
+        )[0, :, 0].T  # [N, E]
+        time_emb = torch.tensor(time_embedding(cfg.input_dim, S), dtype=dt)
+        track_mask_vis = torch.stack([track_mask.to(dt), vis.to(dt)], dim=-1)
+
+        for _ in range(iters):
+            corr_block.corr(track_feat)
+            fcorrs = corr_block.sample(coords)
+            flow_emb = t_get_2d_embedding(
+                (coords - coords[0:1]).reshape(S * N, 1, 2), cfg.flow_emb_dim
+            ).reshape(S, N, -1)
+            tin = torch.cat([flow_emb, fcorrs, track_feat, track_mask_vis], dim=-1)
+            x = tin + sampled_pos[None] + time_emb[:, None]
+            x = x.permute(1, 0, 2)[None]  # [1, N, S, E]
+            delta = self.updateformer(x, mask=track_mask.reshape(1 * S, N))[0].permute(1, 0, 2)
+            coords = coords + delta[..., :2]
+            dfeat = delta[..., 2:].reshape(S * N, -1)
+            track_feat = track_feat + self.track_feat_updater(self.norm(dfeat)).reshape(S, N, -1)
+        vis_logits = self.vis_predictor(track_feat)[..., 0]
+        return coords, track_feat, vis_logits
+
+    def forward(self, video, queries, iters):
+        cfg = self.cfg
+        T = video.shape[0]
+        N = queries.shape[0]
+        S = cfg.window_len
+        step = S // 2
+        num_windows = max((T - S + step - 1) // step, 0) + 1
+        T_pad = (num_windows - 1) * step + S
+        if T_pad > T:
+            video = torch.cat([video, video[-1:].repeat(T_pad - T, 1, 1, 1)], dim=0)
+        video = 2 * (video / 255.0) - 1.0
+        fmaps = self.fnet(video)  # [Tp, C, Hf, Wf]
+        q_frame = queries[:, 0].long()
+        q_coords = queries[:, 1:] / cfg.stride
+        track_feat_q = t_bilinear_sampler(
+            fmaps[q_frame], q_coords[:, None, None], padding_mode="zeros"
+        )[:, :, 0, 0]  # [N, C]
+        exists = torch.arange(T_pad)[:, None] >= q_frame[None]
+        coords_out = q_coords[None].repeat(T_pad, 1, 1)
+        vis_out = torch.zeros(T_pad, N, dtype=video.dtype)
+        for wi in range(num_windows):
+            ind = wi * step
+            fm_w = fmaps[ind : ind + S]
+            if wi == 0:
+                coords = q_coords[None].repeat(S, 1, 1)
+                vis = torch.full((S, N), 10.0, dtype=video.dtype)
+            else:
+                prev = coords_out[ind : ind + step]
+                coords = torch.cat([prev, prev[-1:].repeat(S - step, 1, 1)], dim=0)
+                pv = vis_out[ind : ind + step]
+                vis = torch.cat([pv, pv[-1:].repeat(S - step, 1)], dim=0)
+            tm = exists[ind : ind + S]
+            tf = track_feat_q[None].repeat(S, 1, 1)
+            coords_w, _, vis_w = self.forward_window(fm_w, coords, tf, vis, tm, iters)
+            coords_w = torch.where(tm[..., None], coords_w, coords_out[ind : ind + S])
+            vis_w = torch.where(tm, vis_w, vis_out[ind : ind + S])
+            coords_out[ind : ind + S] = coords_w
+            vis_out[ind : ind + S] = vis_w
+        return coords_out[:T] * cfg.stride, vis_out[:T]
+
+
+def _convert(twin: nn.Module) -> dict:
+    sd = {k: v.detach().numpy() for k, v in twin.state_dict().items()}
+    return convert.cotracker2_from_hub(sd, depth=CFG.depth)
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+def test_embeddings_match_twin():
+    xy = np.random.RandomState(0).uniform(-5, 30, (3, 7, 2)).astype(np.float32)
+    ours = np.asarray(flow_embedding(jnp.asarray(xy), CFG.flow_emb_dim))
+    theirs = t_get_2d_embedding(torch.tensor(xy).reshape(-1, 1, 2), CFG.flow_emb_dim)
+    np.testing.assert_allclose(ours.reshape(-1, ours.shape[-1]), theirs[:, 0].numpy(), atol=1e-5)
+
+
+def test_encoder_parity():
+    torch.manual_seed(0)
+    twin = TBasicEncoder(output_dim=CFG.latent_dim, stride=CFG.stride).eval()
+    full = TCoTracker2(CFG)
+    full.fnet = twin
+    params = _convert(full)
+    x = np.random.RandomState(1).uniform(-1, 1, (2, 40, 56, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = twin(torch.tensor(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1).numpy()
+    out = BasicEncoder(CFG).apply({"params": params["fnet"]}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-4)
+
+
+def test_updateformer_parity_with_mask():
+    torch.manual_seed(1)
+    full = TCoTracker2(CFG)
+    params = _convert(full)
+    n, t = 5, CFG.window_len
+    rs = np.random.RandomState(2)
+    x = rs.uniform(-1, 1, (n, t, CFG.input_dim)).astype(np.float32)
+    mask = rs.rand(t, n) > 0.3
+    mask[:, 0] = True  # at least one valid point per frame
+    with torch.no_grad():
+        ref = full.updateformer(
+            torch.tensor(x)[None], mask=torch.tensor(mask).reshape(t, n)
+        )[0].numpy()
+    out = EfficientUpdateFormer(CFG).apply(
+        {"params": params["updateformer"]}, jnp.asarray(x), jnp.asarray(mask)
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4)
+
+
+def test_full_forward_parity_single_window():
+    """One window (T <= window_len): tight numeric parity end-to-end (encoder
+    + correlation + updateformer + iterative refinement + query pinning)."""
+    torch.manual_seed(2)
+    full = TCoTracker2(CFG).eval()
+    params = _convert(full)
+    t, h, w = CFG.window_len, 48, 64
+    rs = np.random.RandomState(3)
+    video = rs.uniform(0, 255, (t, h, w, 3)).astype(np.float32)
+    queries = np.array([[0, 10.5, 20.0], [0, 40.0, 30.0], [3, 25.0, 12.5]], np.float32)
+    with torch.no_grad():
+        ref_tracks, ref_vis = full(
+            torch.tensor(video).permute(0, 3, 1, 2), torch.tensor(queries), iters=2
+        )
+    tracks, vis = CoTracker2(CFG).apply(
+        {"params": params}, jnp.asarray(video), jnp.asarray(queries), 2
+    )
+    np.testing.assert_allclose(np.asarray(tracks), ref_tracks.numpy(), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(vis), ref_vis.numpy(), atol=5e-3)
+
+
+def test_full_forward_multi_window():
+    """Window chaining (T > window_len). The RANDOM-INIT iterative tracker is
+    chaotic past the first window: the torch twin vs itself with the video
+    perturbed by 1e-4 already drifts ~1 px on frames >= step (measured; real
+    trained weights are contractive toward the track, random ones are not).
+    Frames produced solely by window 0 must therefore match tightly; chained
+    frames are held to a bound calibrated by that self-sensitivity."""
+    torch.manual_seed(2)
+    full = TCoTracker2(CFG).eval()
+    params = _convert(full)
+    t, h, w = 11, 48, 64
+    step = CFG.window_len // 2
+    rs = np.random.RandomState(3)
+    video = rs.uniform(0, 255, (t, h, w, 3)).astype(np.float32)
+    queries = np.array([[0, 10.5, 20.0], [0, 40.0, 30.0], [3, 25.0, 12.5]], np.float32)
+    with torch.no_grad():
+        ref_tracks, ref_vis = full(
+            torch.tensor(video).permute(0, 3, 1, 2), torch.tensor(queries), iters=2
+        )
+    tracks, vis = CoTracker2(CFG).apply(
+        {"params": params}, jnp.asarray(video), jnp.asarray(queries), 2
+    )
+    tracks, vis = np.asarray(tracks), np.asarray(vis)
+    np.testing.assert_allclose(tracks[:step], ref_tracks.numpy()[:step], atol=5e-3)
+    np.testing.assert_allclose(vis[:step], ref_vis.numpy()[:step], atol=5e-3)
+    assert np.abs(tracks - ref_tracks.numpy()).max() < 3.0
+    assert np.abs(vis - ref_vis.numpy()).max() < 0.3
+
+
+def test_converter_covers_full_released_layout():
+    """The converter consumes the full-size twin's state dict and the result
+    matches CoTracker2's parameter tree shape-for-shape (released config:
+    456-d tokens, 6 layers, 64 virtual tracks, 128-d features)."""
+    twin = TCoTracker2(COTRACKER2)
+    sd = {k: v.detach().numpy() for k, v in twin.state_dict().items()}
+    params = convert.cotracker2_from_hub(sd, depth=COTRACKER2.depth)
+
+    model = CoTracker2(COTRACKER2)
+    h, w = 64, 96  # resolution-independent params; keep init cheap
+    video = jax.ShapeDtypeStruct((COTRACKER2.window_len, h, w, 3), jnp.float32)
+    queries = jax.ShapeDtypeStruct((2, 3), jnp.float32)
+    ref_shapes = jax.eval_shape(
+        lambda v, q: model.init(jax.random.PRNGKey(0), v, q, 1), video, queries
+    )["params"]
+    got = jax.tree.map(lambda x: tuple(np.shape(x)), params)
+    want = jax.tree.map(lambda x: tuple(x.shape), ref_shapes)
+    assert got == want
+
+
+def test_track_adapter_interface():
+    """PointTracker.track-compatible front end used by TrackingRefiner
+    (queries [N, 2] on one frame, bidirectional)."""
+    params = CoTracker2Predictor.init_params(CFG)
+    pred = CoTracker2Predictor(params, CFG, support_grid_size=2)
+    video = (np.random.RandomState(5).rand(6, 40, 60, 3) * 255).astype(np.uint8)
+    tracks, vis = pred.track(video, np.array([[10.0, 15.0], [30.0, 20.0]]), query_frame=2)
+    assert tracks.shape == (6, 2, 2) and vis.shape == (6, 2)
+    np.testing.assert_allclose(tracks[2], [[10.0, 15.0], [30.0, 20.0]], atol=1e-4)
+    assert vis[2].all() and np.isfinite(tracks).all()
+    # PointTracker convention: float video is [0, 1] (what
+    # TrackingRefiner.track_frames passes) — must equal the uint8 run.
+    tracks_f, vis_f = pred.track(
+        video.astype(np.float32) / 255.0, np.array([[10.0, 15.0], [30.0, 20.0]]), query_frame=2
+    )
+    np.testing.assert_allclose(tracks_f, tracks, atol=1e-3)
+    np.testing.assert_array_equal(vis_f, vis)
+
+
+def test_predictor_pins_queries_and_shapes():
+    params = CoTracker2Predictor.init_params(CFG)
+    pred = CoTracker2Predictor(params, CFG, support_grid_size=2)
+    t, h, w = 9, 50, 70
+    video = (np.random.RandomState(4).rand(t, h, w, 3) * 255).astype(np.uint8)
+    queries = np.array([[0, 12.0, 20.0], [4, 30.0, 25.0]], np.float32)
+    tracks, vis = pred(video, queries, backward_tracking=True)
+    assert tracks.shape == (t, 2, 2) and vis.shape == (t, 2)
+    np.testing.assert_allclose(tracks[0, 0], [12.0, 20.0], atol=1e-4)
+    np.testing.assert_allclose(tracks[4, 1], [30.0, 25.0], atol=1e-4)
+    assert vis[0, 0] and vis[4, 1]
+    assert np.isfinite(tracks).all()
