@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def xyxy_to_xywh(bbox: jax.Array) -> jax.Array:
@@ -61,3 +62,38 @@ def extend_and_clip_boxes(boxes: jax.Array, extend: float, w: int, h: int) -> ja
     y1 = jnp.maximum(0.0, boxes[..., 1] - extend * bh)
     y2 = jnp.minimum(float(h), boxes[..., 3] + extend * bh)
     return jnp.stack([x1, y1, x2, y2], axis=-1)
+
+
+def nms_xyxy(boxes: np.ndarray, scores: np.ndarray, iou_threshold: float) -> np.ndarray:
+    """Greedy non-maximum suppression over xyxy boxes -> kept indices in
+    descending-score order (torchvision.ops.nms semantics, used by the SAM2
+    automatic mask generator at reference automatic_mask_generator.py:261-267).
+
+    Host-side numpy: candidate counts here are data-dependent and small
+    (hundreds), so this is control-flow, not a hot op — the same split as
+    EPnP (pipeline/pnp.py). The O(N²) IoU matrix is vectorized."""
+    boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+    scores = np.asarray(scores, np.float32).reshape(-1)
+    if boxes.shape[0] == 0:
+        return np.zeros((0,), np.int64)
+    x1, y1, x2, y2 = boxes.T
+    areas = np.maximum(x2 - x1, 0) * np.maximum(y2 - y1, 0)
+    iw = np.maximum(
+        np.minimum(x2[:, None], x2[None]) - np.maximum(x1[:, None], x1[None]), 0
+    )
+    ih = np.maximum(
+        np.minimum(y2[:, None], y2[None]) - np.maximum(y1[:, None], y1[None]), 0
+    )
+    inter = iw * ih
+    union = areas[:, None] + areas[None] - inter
+    iou = np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    alive = np.ones(len(boxes), bool)
+    for i in order:
+        if not alive[i]:
+            continue
+        keep.append(i)
+        alive &= iou[i] <= iou_threshold
+        alive[i] = False
+    return np.asarray(keep, np.int64)

@@ -94,3 +94,18 @@ def batched_mask_to_box(masks: jax.Array) -> jax.Array:
     empty = (right < left) | (bottom < top)
     out = jnp.stack([left, top, right, bottom], axis=-1)
     return jnp.where(empty[..., None], 0, out)
+
+
+def is_box_near_crop_edge(
+    boxes: np.ndarray, crop_box: list[int], orig_box: list[int], atol: float = 20.0
+) -> np.ndarray:
+    """True for xyxy boxes near the crop edge but not near the original image
+    edge (reference amg.py:240-254; such masks are artifacts of cropping)."""
+    crop = np.asarray(crop_box, np.float32)
+    orig = np.asarray(orig_box, np.float32)
+    b = np.asarray(boxes, np.float32) + np.asarray(
+        [crop_box[0], crop_box[1], crop_box[0], crop_box[1]], np.float32
+    )
+    near_crop = np.isclose(b, crop[None], atol=atol, rtol=0)
+    near_image = np.isclose(b, orig[None], atol=atol, rtol=0)
+    return np.any(near_crop & ~near_image, axis=1)

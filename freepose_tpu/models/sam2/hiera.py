@@ -40,6 +40,35 @@ class HieraConfig:
 
 
 HIERA_L = HieraConfig()
+# The other released sizes (reference sam2_configs/sam2_hiera_{t,s,b+}.yaml +
+# hieradet.py defaults for fields the yamls leave unset).
+HIERA_T = HieraConfig(
+    embed_dim=96,
+    blocks_per_stage=(1, 2, 7, 2),
+    embed_dim_per_stage=(96, 192, 384, 768),
+    heads_per_stage=(1, 2, 4, 8),
+    window_size_per_stage=(8, 4, 14, 7),
+    global_attention_blocks=(5, 7, 9),
+    window_pos_bg_size=(7, 7),
+)
+HIERA_S = HieraConfig(
+    embed_dim=96,
+    blocks_per_stage=(1, 2, 11, 2),
+    embed_dim_per_stage=(96, 192, 384, 768),
+    heads_per_stage=(1, 2, 4, 8),
+    window_size_per_stage=(8, 4, 14, 7),
+    global_attention_blocks=(7, 10, 13),
+    window_pos_bg_size=(7, 7),
+)
+HIERA_B_PLUS = HieraConfig(
+    embed_dim=112,
+    blocks_per_stage=(2, 3, 16, 3),
+    embed_dim_per_stage=(112, 224, 448, 896),
+    heads_per_stage=(2, 4, 8, 16),
+    window_size_per_stage=(8, 4, 14, 7),
+    global_attention_blocks=(12, 16, 20),
+    window_pos_bg_size=(14, 14),
+)
 HIERA_TEST = HieraConfig(
     embed_dim=8,
     blocks_per_stage=(1, 1, 1, 1),

@@ -148,8 +148,14 @@ class MaskDecoder(nn.Module):
         tokens = jnp.tile(out_tokens[None, None], (b, p, 1, 1))
         tokens = jnp.concatenate([tokens, sparse_prompts.astype(c.dtype)], axis=2)
 
-        src = image_embedding + dense_prompts  # [B, G, G, D]
-        keys = jnp.tile(src.reshape(b, 1, g * g, -1), (1, p, 1, 1))
+        if dense_prompts.ndim == 5:
+            # per-prompt dense embeddings [B, P, G, G, D] (m2m mask inputs)
+            keys = image_embedding.reshape(b, 1, g * g, -1) + dense_prompts.reshape(
+                b, p, g * g, -1
+            )
+        else:
+            src = image_embedding + dense_prompts  # [B, G, G, D]
+            keys = jnp.tile(src.reshape(b, 1, g * g, -1), (1, p, 1, 1))
         k_pe = jnp.tile(image_pe.reshape(1, 1, g * g, -1).astype(c.dtype), (b, p, 1, 1))
 
         queries = tokens

@@ -105,9 +105,15 @@ class PromptEncoder(nn.Module):
         return jnp.concatenate([pe, pad], axis=2)
 
     def dense_embedding(self, batch: int, masks: jax.Array | None) -> jax.Array:
-        """-> [B, G, G, D] dense prompt (mask embedding or learned no-mask)."""
+        """-> [B, G, G, D] dense prompt (mask embedding or learned no-mask).
+        Per-PROMPT mask inputs [B, P, 1, 4G, 4G] (the m2m refinement path of
+        the automatic mask generator) return [B, P, G, G, D]."""
         c = self.cfg
         if masks is not None:
+            if masks.ndim == 5:
+                b, p = masks.shape[:2]
+                emb = self.mask_embed(masks.reshape(b * p, *masks.shape[2:]))
+                return emb.reshape(b, p, *emb.shape[1:])
             return self.mask_embed(masks)
         g = c.embed_grid
         return jnp.broadcast_to(
