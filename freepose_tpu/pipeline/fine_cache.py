@@ -189,16 +189,13 @@ def cached_refine_update(
     is identical on every chip. This composes the cache's cross-frame reuse
     with multi-chip latency scaling of the cold work."""
     from freepose_tpu.models.dinov2 import _extract_jit
-    from freepose_tpu.ops.rasterizer import render_meshes
-    from freepose_tpu.pipeline.renderer import _generate_proposals_jit
-    from freepose_tpu.pipeline.template_bank import depth_stats, normalize_feats
+    from freepose_tpu.pipeline.online_pose_estimator import render_view_block
+    from freepose_tpu.pipeline.template_bank import normalize_feats
 
     new_poses = fine_poses[new_idx]
     sel_poses = fine_poses[sel_idx]
 
     if device_mesh is None:
-        from freepose_tpu.pipeline.online_pose_estimator import render_view_block
-
         props, rmasks, (smin, smax, smean) = render_view_block(
             v, c, f, fv, new_poses, k_render, settings, pose_chunk, resolution,
             zoom,
@@ -211,21 +208,17 @@ def cached_refine_update(
         new_feats = feats[1:]
         new_stats = jnp.stack([smin, smax, smean], axis=1)
     else:
-        assert not zoom, "zoom renders do not compose with device_mesh sharding yet"
         from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         def local(poses_local, v, c, f, fv, k_render, fe_params):
-            rgb, depth = render_meshes(
-                v, c, f, fv, poses_local, k_render, settings, pose_chunk=pose_chunk
-            )
-            props, rmasks, _ = _generate_proposals_jit.__wrapped__(
-                rgb, depth, resolution, resolution
+            props, rmasks, (smin, smax, smean) = render_view_block(
+                v, c, f, fv, poses_local, k_render, settings, pose_chunk,
+                resolution, zoom,
             )
             fl = normalize_feats(
                 _extract_jit.__wrapped__(extractor, fe_params, props, layer, "patch")
             )
-            smin, smax, smean = depth_stats.__wrapped__(depth, k_render)
             return fl, rmasks, jnp.stack([smin, smax, smean], axis=1)
 
         sh, rep = P(shard_axis), P()

@@ -145,8 +145,6 @@ class OnlinePoseEstimator:
         # the proposal at native resolution — no crop-upsample. Changes
         # rescore numerics vs the reference (which resamples BOTH sides the
         # same way), hence opt-in; see STATUS.md for the A/B.
-        if zoom_renders and shard_mesh is not None:
-            raise ValueError("zoom_renders does not compose with shard_mesh yet")
         self.zoom_renders = zoom_renders
         # Extra views pre-cached per miss frame by rounding the miss batch up
         # a bucket, filled with predictively-ordered prefetch. Measured at
@@ -481,7 +479,7 @@ class OnlinePoseEstimator:
                 v, c, f, fv, self.renderer.k, self.extractor.params,
                 self.renderer.settings, self.n_neighbors, self.renderer.pose_chunk,
                 self.renderer.resolution, self.extractor, self.feature_layer,
-                device_mesh, axis,
+                device_mesh, axis, self.zoom_renders,
             )
         )
         grid = int(round(render_feats.shape[1] ** 0.5))
@@ -723,36 +721,34 @@ def _refine_prepare_fused(
 
 @partial(jax.jit, static_argnames=(
     "settings", "n_neighbors", "pose_chunk", "resolution", "extractor", "layer",
-    "device_mesh", "axis"))
+    "device_mesh", "axis", "zoom"))
 def _refine_prepare_fused_sharded(
     fine_poses, prev_pose, neighborhood_deg, v, c, f, fv, k_render, fe_params,
     settings, n_neighbors, pose_chunk, resolution, extractor, layer,
-    device_mesh, axis,
+    device_mesh, axis, zoom=False,
 ):
     """_refine_prepare_fused with the render + feature work shard_mapped over
     `axis`: the [n_neighbors] selected poses split across chips, mesh buffers
     and extractor params replicated; per-chip output blocks reassemble into
-    the global [n_neighbors, ...] arrays the epilogue consumes."""
+    the global [n_neighbors, ...] arrays the epilogue consumes. zoom renders
+    per-pose zoomed intrinsics locally (render_view_block is pure in the
+    local poses, so the composition is free)."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from freepose_tpu.models.dinov2 import _extract_jit
-    from freepose_tpu.ops.rasterizer import render_meshes
-    from freepose_tpu.pipeline.renderer import _generate_proposals_jit
 
     sel_poses, sel_idx, valid = select_neighborhood(
         fine_poses, prev_pose, neighborhood_deg, n_neighbors
     )
 
     def local(poses_local, v, c, f, fv, k_render, fe_params):
-        rgb, depth = render_meshes(
-            v, c, f, fv, poses_local, k_render, settings, pose_chunk=pose_chunk
-        )
-        props, render_masks, _ = _generate_proposals_jit.__wrapped__(
-            rgb, depth, resolution, resolution
+        props, render_masks, stats = render_view_block(
+            v, c, f, fv, poses_local, k_render, settings, pose_chunk, resolution,
+            zoom,
         )
         feats = _extract_jit.__wrapped__(extractor, fe_params, props, layer, "patch")
-        return normalize_feats(feats), render_masks, depth_stats(depth, k_render)
+        return normalize_feats(feats), render_masks, stats
 
     rep = P()
     sh = P(axis)

@@ -145,3 +145,62 @@ def test_zoom_tracking_locks_on(setup):
             )[0]
         )
         assert np.isfinite(err) and err < 45.0
+
+
+def test_zoom_refine_sharded_matches_single_device(setup):
+    """zoom + shard_mesh composition (uncached): the sharded per-pose-K
+    renders + features reassemble to the single-device zoom refine."""
+    import jax
+    from freepose_tpu.parallel.mesh import make_mesh
+
+    fe, feature_fn, renderer, bank = setup
+    est = OnlinePoseEstimator(
+        feature_fn, bank, renderer, n_coarse_poses=16, n_fine_poses=200,
+        n_neighbors=8, extractor=fe, feature_layer=2, zoom_renders=True,
+    )
+    mesh = _mesh()
+    rgb, depth = renderer.render_from_poses(mesh, est.fine_poses[7][None], scale=0.25)
+    props, masks, boxes = renderer.generate_proposals(rgb, depth)
+    qf = est.coarse.query_features(props[0])
+    args = (qf, masks[0], mesh, renderer.k, boxes[0].astype(jnp.float32), 0.25,
+            est.fine_poses[7])
+    dev_mesh = make_mesh(data=1, model=len(jax.devices()))
+    a = est.refine(*args, neighborhood_deg=40.0)
+    b = est.refine_sharded(*args, device_mesh=dev_mesh, neighborhood_deg=40.0)
+    np.testing.assert_allclose(np.asarray(a.tcos), np.asarray(b.tcos), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a.scores), np.asarray(b.scores), atol=1e-5)
+    assert int(a.view_indices) == int(b.view_indices)
+
+
+def test_zoom_cached_sharded_composes(setup):
+    """zoom + fine cache + shard_mesh: the full triple composition tracks the
+    cache-only zoom path exactly (miss cold work fans over the mesh under
+    per-pose zoomed intrinsics; buffers replicated)."""
+    import jax
+    from freepose_tpu.parallel.mesh import make_mesh
+
+    fe, feature_fn, renderer, bank = setup
+    mesh = _mesh()
+    pack = bank.get("zoom-blob3", mesh)
+    dev_mesh = make_mesh(data=1, model=len(jax.devices()))
+    mk = lambda shard: OnlinePoseEstimator(
+        feature_fn, bank, renderer, n_coarse_poses=16, n_fine_poses=200,
+        n_neighbors=8, extractor=fe, feature_layer=2, fine_cache_capacity=12,
+        zoom_renders=True, shard_mesh=shard,
+    )
+    est_c, est_s = mk(None), mk(dev_mesh)
+    fp = np.asarray(est_c.fine_poses)
+    for t, gi in enumerate([5, 6, 5, 120, 121, 5]):
+        prev = jnp.asarray(fp[gi])
+        gt = jnp.asarray(fp[(gi + 1) % len(fp)])
+        rgb, depth = renderer.render_from_poses(mesh, gt[None])
+        props, masks, boxes = renderer.generate_proposals(rgb, depth)
+        args = dict(
+            k=renderer.k, bbox=boxes[0].astype(jnp.float32), est_scale=0.25,
+            neighborhood_deg=40.0, mask_scores=(t % 2 == 1),
+        )
+        o_c = est_c.estimate(props[0], masks[0], pack, mesh, prev_pose=prev, **args)
+        o_s = est_s.estimate(props[0], masks[0], pack, mesh, prev_pose=prev, **args)
+        assert int(o_c.view_indices) == int(o_s.view_indices), f"frame {t}"
+        np.testing.assert_allclose(np.asarray(o_s.tcos), np.asarray(o_c.tcos), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(o_s.scores), np.asarray(o_c.scores), atol=1e-5)
