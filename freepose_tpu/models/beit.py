@@ -38,6 +38,7 @@ class BeitConfig:
     layer_scale_init: float = 0.1
     out_indices: tuple = (6, 12, 18, 24)  # 1-indexed block taps
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False  # Pallas biased flash attention (TPU)
 
 
 BEIT_TEST = BeitConfig(
@@ -108,10 +109,18 @@ class BeitBlock(nn.Module):
         q = q.reshape(*q.shape[:-1], nh, hd).swapaxes(-3, -2)
         k = k.reshape(*k.shape[:-1], nh, hd).swapaxes(-3, -2)
         v = v.reshape(*v.shape[:-1], nh, hd).swapaxes(-3, -2)
-        logits = jnp.einsum("...hqd,...hkd->...hqk", q, k, preferred_element_type=jnp.float32)
-        logits = logits / np.sqrt(hd) + bias
-        attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        out = jnp.einsum("...hqk,...hkd->...hqd", attn, v)
+        if c.use_flash:
+            # Fused kernel streams K/V and the [heads, N, N] bias in blocks —
+            # the dense path's fp32 logit tensor (92 MB at 480p) never
+            # materializes (SURVEY.md §2.6.3).
+            from freepose_tpu.ops.attention import flash_attention_bias_auto
+
+            out = flash_attention_bias_auto(q, k, v, 1.0 / np.sqrt(hd), bias)
+        else:
+            logits = jnp.einsum("...hqd,...hkd->...hqk", q, k, preferred_element_type=jnp.float32)
+            logits = logits / np.sqrt(hd) + bias
+            attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            out = jnp.einsum("...hqk,...hkd->...hqd", attn, v)
         out = out.swapaxes(-3, -2).reshape(*x.shape[:-1], d)
         out = nn.Dense(d, dtype=c.dtype, name="proj")(out)
         lam1 = self.param("lambda_1", nn.initializers.constant(c.layer_scale_init), (d,))

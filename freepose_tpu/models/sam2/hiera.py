@@ -37,6 +37,7 @@ class HieraConfig:
     patch_stride: int = 4
     patch_padding: int = 3
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False  # Pallas flash attention in global blocks (TPU)
 
 
 HIERA_L = HieraConfig()
@@ -113,6 +114,7 @@ class MultiScaleAttention(nn.Module):
     num_heads: int
     query_stride: int | None
     dtype: jnp.dtype
+    use_flash: bool = False  # Pallas flash kernel (global-attention blocks, TPU)
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -126,11 +128,22 @@ class MultiScaleAttention(nn.Module):
             q = _max_pool2(q, self.query_stride)
             h, w = q.shape[1], q.shape[2]
             q = q.reshape(b, h * w, self.num_heads, head_dim)
-        logits = jnp.einsum(
-            "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
-        ) * (head_dim**-0.5)
-        weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhnm,bmhd->bnhd", weights, v).reshape(b, h, w, self.dim_out)
+        if self.use_flash:
+            # Global-attention blocks see 4096 tokens at 1024² input — the
+            # dense [H, N, N] score tensor is the trunk's main HBM cost;
+            # the fused kernel never materializes it (SURVEY.md §2.6.3).
+            from freepose_tpu.ops.attention import flash_attention_auto
+
+            out = flash_attention_auto(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+                head_dim**-0.5,
+            ).transpose(0, 2, 1, 3).reshape(b, h, w, self.dim_out)
+        else:
+            logits = jnp.einsum(
+                "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+            ) * (head_dim**-0.5)
+            weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+            out = jnp.einsum("bhnm,bmhd->bnhd", weights, v).reshape(b, h, w, self.dim_out)
         return nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(out)
 
 
@@ -154,6 +167,7 @@ class MultiScaleBlock(nn.Module):
     query_stride: int | None
     mlp_ratio: float
     dtype: jnp.dtype
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -169,7 +183,9 @@ class MultiScaleBlock(nn.Module):
         if ws > 0:
             h, pad_hw = window_partition(h, ws)
         h = MultiScaleAttention(
-            self.dim_out, self.num_heads, self.query_stride, self.dtype, name="attn"
+            self.dim_out, self.num_heads, self.query_stride, self.dtype,
+            use_flash=self.use_flash and ws == 0 and not self.query_stride,
+            name="attn",
         )(h)
         if self.query_stride:
             ws = ws // self.query_stride
@@ -242,6 +258,7 @@ class Hiera(nn.Module):
                     query_stride=q_stride,
                     mlp_ratio=cfg.mlp_ratio,
                     dtype=cfg.dtype,
+                    use_flash=cfg.use_flash,
                     name=f"block{total_idx}",
                 )(x)
                 total_idx += 1

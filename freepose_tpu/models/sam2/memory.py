@@ -49,6 +49,10 @@ class MemoryConfig:
     sigmoid_scale: float = 20.0
     sigmoid_bias: float = -10.0
     dtype: jnp.dtype = jnp.float32
+    # Pallas flash attention (TPU): self-attn uses the full-KV kernel, the
+    # ~28k-key cross-attn streams K/V blocks with the padded-slot mask folded
+    # into the kernel (SURVEY.md §2.6.3 "RoPE cross-attention" native item).
+    use_flash: bool = False
 
 
 def rope_2d_cos_sin(head_dim: int, grid: int, theta: float = 10000.0):
@@ -111,12 +115,21 @@ class RopeAttention(nn.Module):
         kh = proj(k, "k")
         vh = proj(v, "v")
         qh, kh = apply_rope_2d(qh, kh, cos, sin, num_k_exclude, self.rope_k_repeat)
-        logits = jnp.einsum("bhnd,bhmd->bhnm", qh, kh, preferred_element_type=jnp.float32)
-        logits = logits * (head_dim**-0.5)
-        if kv_mask is not None:
-            logits = jnp.where(kv_mask[:, None, None, :], logits, -jnp.inf)
-        w = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", w, vh).transpose(0, 2, 1, 3).reshape(b, -1, inner)
+        if c.use_flash:
+            # RoPE is already applied above (with object-pointer exclusion),
+            # so the kernel sees plain q/k/v; the slot-validity mask streams
+            # alongside the K/V blocks.
+            from freepose_tpu.ops.attention import flash_attention_auto
+
+            out = flash_attention_auto(qh, kh, vh, head_dim**-0.5, kv_mask=kv_mask)
+        else:
+            logits = jnp.einsum("bhnd,bhmd->bhnm", qh, kh, preferred_element_type=jnp.float32)
+            logits = logits * (head_dim**-0.5)
+            if kv_mask is not None:
+                logits = jnp.where(kv_mask[:, None, None, :], logits, -jnp.inf)
+            w = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+            out = jnp.einsum("bhnm,bhmd->bhnd", w, vh)
+        out = out.transpose(0, 2, 1, 3).reshape(b, -1, inner)
         return nn.Dense(c.hidden_size, dtype=c.dtype, name="out")(out)
 
 

@@ -120,6 +120,248 @@ def flash_attention(
 
 
 
+def _stream_kernel(
+    q_ref, k_ref, v_ref, mask_ref, o_ref, m_scr, l_scr, acc_scr, *, scale: float, nk_blocks: int
+):
+    """Streaming flash attention: grid axis 2 sweeps K/V blocks sequentially
+    with running (max, sum, acc) in VMEM scratch — K/V never fully resident,
+    so arbitrarily long key sets (SAM2 memory cross-attention: ~28k keys)
+    fit. mask_ref [1, block_k] int8: 0 = masked key (padding or invalid
+    memory slot)."""
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32) * scale
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [bq, bk]
+    logits = jnp.where(mask_ref[:, :] != 0, logits, NEG_INF)
+
+    m_prev = m_scr[:, 0:1]
+    l_prev = l_scr[:, 0:1]
+    m_cur = jnp.max(logits, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(logits - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    acc_new = acc_scr[:] * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+    acc_scr[:] = acc_new
+
+    @pl.when(kb == nk_blocks - 1)
+    def _fin():
+        o_ref[0] = (acc_new / jnp.maximum(l_new, 1e-30)).astype(o_ref.dtype)
+
+
+def _valid_mask(kv_mask, b: int, nk: int, nk_pad: int) -> jax.Array:
+    """[b, nk_pad] int8 combining the length padding with an optional
+    per-batch key validity mask."""
+    valid = jnp.arange(nk_pad) < nk
+    valid = jnp.broadcast_to(valid[None, :], (b, nk_pad))
+    if kv_mask is not None:
+        valid = valid & _pad_to(kv_mask.astype(bool), nk_pad, 1)
+    return valid.astype(jnp.int8)
+
+
+@partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
+def flash_attention_stream(
+    q: jax.Array,  # [B, H, N, d]
+    k: jax.Array,  # [B, H, Nk, d]
+    v: jax.Array,
+    scale: float,
+    kv_mask: jax.Array | None = None,  # [B, Nk] bool; False = masked key
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    b, h, n, d = q.shape
+    nk = k.shape[2]
+
+    def _round16(x: int) -> int:
+        return max(16, -(-x // 16) * 16)
+
+    block_q = min(block_q, _round16(n))
+    block_k = min(block_k, _round16(nk))
+    n_pad = -(-n // block_q) * block_q
+    nk_pad = -(-nk // block_k) * block_k
+    d_pad = max(-(-d // 128) * 128, 128)
+
+    qp = _pad_to(_pad_to(q, n_pad, 2), d_pad, 3).reshape(b * h, n_pad, d_pad)
+    kp = _pad_to(_pad_to(k, nk_pad, 2), d_pad, 3).reshape(b * h, nk_pad, d_pad)
+    vp = _pad_to(_pad_to(v, nk_pad, 2), d_pad, 3).reshape(b * h, nk_pad, d_pad)
+    mask = _valid_mask(kv_mask, b, nk, nk_pad)
+
+    nk_blocks = nk_pad // block_k
+    grid = (b * h, n_pad // block_q, nk_blocks)
+    out = pl.pallas_call(
+        partial(_stream_kernel, scale=scale, nk_blocks=nk_blocks),
+        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d_pad), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda i, j, kb: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d_pad), lambda i, j, kb: (i, kb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d_pad), lambda i, j, kb: (i, kb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k), lambda i, j, kb: (i // h, kb), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d_pad), lambda i, j, kb: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, mask)
+    return out.reshape(b, h, n_pad, d_pad)[:, :, :n, :d]
+
+
+def _stream_bias_kernel(
+    q_ref, k_ref, v_ref, mask_ref, bias_ref, o_ref, m_scr, l_scr, acc_scr,
+    *, scale: float, nk_blocks: int,
+):
+    """Streaming flash attention with an additive logit bias (BEiT relative
+    position bias). Same accumulation as `_stream_kernel`; bias is shared
+    across batch (per-head), so its block index is i % h."""
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32) * scale
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    logits = logits + bias_ref[0].astype(jnp.float32)
+    logits = jnp.where(mask_ref[:, :] != 0, logits, NEG_INF)
+
+    m_prev = m_scr[:, 0:1]
+    l_prev = l_scr[:, 0:1]
+    m_cur = jnp.max(logits, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(logits - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    acc_new = acc_scr[:] * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+    acc_scr[:] = acc_new
+
+    @pl.when(kb == nk_blocks - 1)
+    def _fin():
+        o_ref[0] = (acc_new / jnp.maximum(l_new, 1e-30)).astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret"))
+def flash_attention_bias(
+    q: jax.Array,  # [B, H, N, d]
+    k: jax.Array,
+    v: jax.Array,
+    scale: float,
+    bias: jax.Array,  # [H, N, Nk] additive logit bias, shared across batch
+    kv_mask: jax.Array | None = None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    b, h, n, d = q.shape
+    nk = k.shape[2]
+
+    def _round16(x: int) -> int:
+        return max(16, -(-x // 16) * 16)
+
+    block_q = min(block_q, _round16(n))
+    block_k = min(block_k, _round16(nk))
+    n_pad = -(-n // block_q) * block_q
+    nk_pad = -(-nk // block_k) * block_k
+    d_pad = max(-(-d // 128) * 128, 128)
+
+    qp = _pad_to(_pad_to(q, n_pad, 2), d_pad, 3).reshape(b * h, n_pad, d_pad)
+    kp = _pad_to(_pad_to(k, nk_pad, 2), d_pad, 3).reshape(b * h, nk_pad, d_pad)
+    vp = _pad_to(_pad_to(v, nk_pad, 2), d_pad, 3).reshape(b * h, nk_pad, d_pad)
+    bp = _pad_to(_pad_to(bias, n_pad, 1), nk_pad, 2)
+    mask = _valid_mask(kv_mask, b, nk, nk_pad)
+
+    nk_blocks = nk_pad // block_k
+    grid = (b * h, n_pad // block_q, nk_blocks)
+    out = pl.pallas_call(
+        partial(_stream_bias_kernel, scale=scale, nk_blocks=nk_blocks),
+        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d_pad), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d_pad), lambda i, j, kb: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d_pad), lambda i, j, kb: (i, kb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d_pad), lambda i, j, kb: (i, kb, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k), lambda i, j, kb: (i // h, kb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, block_k), lambda i, j, kb: (i % h, j, kb), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, d_pad), lambda i, j, kb: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, mask, bp)
+    return out.reshape(b, h, n_pad, d_pad)[:, :, :n, :d]
+
+
+def flash_attention_bias_auto(q, k, v, scale: float, bias) -> jax.Array:
+    """Platform-gated biased attention (BEiT blocks): Pallas on TPU, dense
+    XLA with the bias added to fp32 logits elsewhere."""
+    interpret = FORCE_INTERPRET
+    if interpret or jax.devices()[0].platform in ("tpu", "axon"):
+        return flash_attention_bias(q, k, v, scale, bias, interpret=interpret)
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32) * scale
+    w = jax.nn.softmax(logits + bias[None].astype(jnp.float32), axis=-1).astype(v.dtype)
+    return jnp.einsum("bhnm,bhmd->bhnd", w, v)
+
+
+def dense_attention_masked(q, k, v, scale: float, kv_mask=None) -> jax.Array:
+    """Dense XLA attention with optional per-batch key mask — the CPU/parity
+    fallback for the flash paths. q/k/v [B, H, N, d]; kv_mask [B, Nk]."""
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32) * scale
+    if kv_mask is not None:
+        logits = jnp.where(kv_mask[:, None, None, :], logits, NEG_INF)
+    w = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhnm,bhmd->bhnd", w, v)
+
+
+# Combined K+V VMEM footprint (bytes) above which the full-KV kernel risks
+# exceeding VMEM and the streaming kernel is used instead.
+_FULL_KV_VMEM_LIMIT = 6 * 1024 * 1024
+
+# Test escape hatch: force the Pallas kernels in interpret mode on CPU so
+# model-level flash paths can be parity-tested without TPU hardware.
+FORCE_INTERPRET = False
+
+
+def flash_attention_auto(q, k, v, scale: float, kv_mask=None) -> jax.Array:
+    """Platform-gated attention: Pallas flash on TPU (full-KV kernel when K/V
+    fit VMEM, streaming kernel otherwise), dense XLA elsewhere."""
+    interpret = FORCE_INTERPRET
+    if not interpret and jax.devices()[0].platform not in ("tpu", "axon"):
+        return dense_attention_masked(q, k, v, scale, kv_mask)
+    nk, d = k.shape[2], k.shape[3]
+    d_pad = max(-(-d // 128) * 128, 128)
+    nk_pad = -(-nk // 256) * 256
+    footprint = 2 * nk_pad * d_pad * q.dtype.itemsize
+    if kv_mask is None and footprint <= _FULL_KV_VMEM_LIMIT:
+        return flash_attention(q, k, v, scale, interpret=interpret)
+    return flash_attention_stream(q, k, v, scale, kv_mask=kv_mask, interpret=interpret)
+
+
 def flash_attention_fn(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
     """Drop-in `attention_fn` for freepose_tpu.models.vit.MultiHeadAttention:
     Pallas flash attention on TPU, dense XLA fallback elsewhere."""

@@ -128,11 +128,9 @@ def main() -> None:
     if args.tiny:
         from tests.test_sam2_video import OUR_CFG as vcfg
     else:
-        sam = Sam2Config()
-        sam = dataclasses.replace(
-            sam, hiera=dataclasses.replace(sam.hiera, dtype=jnp.bfloat16), dtype=jnp.bfloat16
-        )
-        vcfg = Sam2VideoConfig(sam=sam)
+        from scripts.common import production_sam2_video_config
+
+        vcfg = production_sam2_video_config()  # bf16 + flash attention on TPU
     vmodel = Sam2VideoModel(vcfg)
     state0 = init_object_state(vcfg)
     p_cap = vcfg.max_point_prompts

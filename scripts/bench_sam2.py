@@ -60,6 +60,11 @@ def main() -> None:
     ap.add_argument("--f32", dest="bf16", action="store_false")
     ap.add_argument("--logits", action="store_true",
                     help="fetch f32 mask logits instead of on-device-thresholded bool")
+    ap.add_argument("--flash", action="store_true",
+                    help="Pallas flash attention in Hiera global blocks + memory attention")
+    ap.add_argument("--device-rate", action="store_true",
+                    help="enqueue all frames, block once: device-bound ms/frame "
+                         "(per-frame tunnel round trips pipeline away)")
     args = ap.parse_args()
 
     if args.tiny:
@@ -75,7 +80,11 @@ def main() -> None:
                 hiera=dataclasses.replace(sam.hiera, dtype=jnp.bfloat16),
                 dtype=jnp.bfloat16,
             )
+        if args.flash:
+            sam = dataclasses.replace(sam, hiera=dataclasses.replace(sam.hiera, use_flash=True))
         cfg = Sam2VideoConfig(sam=sam)
+        if args.flash:
+            cfg = dataclasses.replace(cfg, mem=dataclasses.replace(cfg.mem, use_flash=True))
         hw = (720, 1280)
 
     model = Sam2VideoModel(cfg)
@@ -113,6 +122,26 @@ def main() -> None:
 
     print(f"platform: {jax.devices()[0].platform}; image {cfg.image_size}², "
           f"{args.objects} object(s), dtype {'bf16' if args.bf16 and not args.tiny else 'f32'}")
+
+    if args.device_rate:
+        # Warm pass compiles everything; timed pass enqueues every frame and
+        # fetches only the last mask (single-array fetch: the only honest
+        # block through the remote-TPU tunnel), so per-frame round trips
+        # pipeline away and the figure is device-bound.
+        for _ in pred.propagate_in_video(state, binarize=not args.logits):
+            pass
+        t0 = time.perf_counter()
+        last = None
+        n = 0
+        for frame_idx, obj_ids, low, high in pred.propagate_in_video(
+            state, binarize=not args.logits
+        ):
+            last = high
+            n += 1
+        np.asarray(last)
+        ms = 1e3 * (time.perf_counter() - t0) / n
+        print(f"propagate (device-rate): {ms:.1f} ms/frame = {1e3 / ms:.2f} FPS over {n} frames")
+        return
 
     times = []
     t_prev = time.perf_counter()

@@ -39,6 +39,8 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--texts", type=int, default=64,
                     help="text batch (the 2,201-prior encode is a one-time cache)")
+    ap.add_argument("--flash", action="store_true",
+                    help="Pallas biased flash attention in the ZoeDepth BEiT trunk")
     args = ap.parse_args()
 
     on_tpu = jax.devices()[0].platform in ("tpu", "axon")
@@ -49,6 +51,10 @@ def main() -> None:
         dt = jnp.bfloat16 if on_tpu else jnp.float32
         c_cfg = dataclasses.replace(VIT_BIGG_14, dtype=dt)
         z_cfg = DepthConfig()  # production dtype (compute_scale_video loads f32)
+        if args.flash:
+            z_cfg = dataclasses.replace(
+                z_cfg, beit=dataclasses.replace(z_cfg.beit, use_flash=True)
+            )
     print(f"platform: {jax.devices()[0].platform}; clip {c_cfg.vision_layers}L/{c_cfg.vision_width}w @{c_cfg.image_size}, texts {args.texts}")
 
     # CLIP (random weights via eval_shape)

@@ -152,7 +152,11 @@ def production_sam2_config():
         bf = jnp.bfloat16
         cfg = dataclasses.replace(
             cfg, dtype=bf,
-            hiera=dataclasses.replace(cfg.hiera, dtype=bf),
+            # use_flash: Pallas flash attention in the global-attention
+            # blocks — Hiera-L @1024² trunk measured 114.4 -> 39.9 ms on one
+            # v5e (dense materializes [8, 4096, 4096] f32 scores per global
+            # block).
+            hiera=dataclasses.replace(cfg.hiera, dtype=bf, use_flash=True),
             prompt=dataclasses.replace(cfg.prompt, dtype=bf),
             decoder=dataclasses.replace(cfg.decoder, dtype=bf),
         )
@@ -171,4 +175,13 @@ def production_sam2_video_config():
     from freepose_tpu.models.sam2.video import Sam2VideoConfig
 
     cfg, _ = production_sam2_config()
-    return Sam2VideoConfig(sam=cfg)
+    vcfg = Sam2VideoConfig(sam=cfg)
+    if _on_accelerator():
+        import dataclasses
+
+        # Streaming flash kernel for the ~28.7k-key memory cross-attention
+        # (4 layers, 4096 queries): 101.7 -> 13.0 ms measured on one v5e.
+        vcfg = dataclasses.replace(
+            vcfg, mem=dataclasses.replace(vcfg.mem, use_flash=True)
+        )
+    return vcfg
