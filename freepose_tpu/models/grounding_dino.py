@@ -145,6 +145,49 @@ def grid_sample_zeros(value: jax.Array, locs: jax.Array) -> jax.Array:
     )
 
 
+def grid_sample_zeros_quad(value: jax.Array, locs: jax.Array) -> jax.Array:
+    """`grid_sample_zeros` with ONE gather per sample instead of four.
+
+    The four bilinear taps of a sample are 2×2-adjacent pixels; gathering
+    them separately issues 4× the gather ops at 1/4 lane utilization (rows
+    are head_dim=32 channels — 64 B in bf16, far under the 128-lane vector
+    width). Here the map is re-laid-out once per level as a "quad" tensor
+    whose row (i, j) concatenates pixels (i-1..i, j-1..j) — 4·C channels —
+    so each sample is a single full-width row gather; the zero border of the
+    padded layout reproduces torch grid_sample's zeros padding exactly, and
+    the bilinear weights contract the gathered [4, C] block afterwards.
+    This is the deformable-attention hot path: the encoder's sampling is
+    ~91% of GroundingDINO detect device time (reference deformable
+    multi-scale attention, transformers GroundingDinoMultiscaleDeformable-
+    Attention; SURVEY.md §2.2 extract_proposals_ground)."""
+    b, h, w, c = value.shape
+    x = (locs[..., 0] + 1.0) * w / 2.0 - 0.5
+    y = (locs[..., 1] + 1.0) * h / 2.0 - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+
+    p = jnp.pad(value, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    quad = jnp.concatenate(
+        [p[:, :-1, :-1], p[:, :-1, 1:], p[:, 1:, :-1], p[:, 1:, 1:]], axis=-1
+    )  # [B, h+1, w+1, 4C]; row (i, j) = taps (i-1, j-1) .. (i, j)
+
+    yi = y0 + 1.0
+    xi = x0 + 1.0
+    inb = (yi >= 0) & (yi <= h) & (xi >= 0) & (xi <= w)
+    yi = jnp.clip(yi, 0, h).astype(jnp.int32)
+    xi = jnp.clip(xi, 0, w).astype(jnp.int32)
+    rows = jnp.take_along_axis(
+        quad.reshape(b, (h + 1) * (w + 1), 4 * c), (yi * (w + 1) + xi)[..., None], axis=1
+    )
+    rows = rows.reshape(*rows.shape[:-1], 4, c)
+    w4 = jnp.stack(
+        [(1 - wy) * (1 - wx), (1 - wy) * wx, wy * (1 - wx), wy * wx], axis=-1
+    ) * inb[..., None]
+    return jnp.sum(rows * w4[..., None], axis=-2)
+
+
 class MultiScaleDeformableAttention(nn.Module):
     """Deformable attention over flattened multi-level feature maps."""
 
@@ -188,7 +231,7 @@ class MultiScaleDeformableAttention(nn.Module):
             v = value[:, start : start + ht * wd]  # [B, hw, H, dh]
             v = v.transpose(0, 2, 1, 3).reshape(b * nh, ht, wd, head_dim)
             g = grids[:, :, :, lvl].transpose(0, 2, 1, 3, 4).reshape(b * nh, q * npts, 2)
-            s = grid_sample_zeros(v, g).reshape(b, nh, q, npts, head_dim)
+            s = grid_sample_zeros_quad(v, g).reshape(b, nh, q, npts, head_dim)
             sampled.append(s)
             start += ht * wd
         stacked = jnp.stack(sampled, axis=3)  # [B, H, Q, L, P, dh]

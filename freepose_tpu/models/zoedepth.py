@@ -335,7 +335,18 @@ class MetricDepthEstimator:
     def __init__(self, config: DepthConfig | None = None, params=None, seed: int = 0):
         import os
 
-        self.config = config or (DEPTH_TEST if os.environ.get("FREEPOSE_TINY_MODELS") else DepthConfig())
+        if config is None:
+            config = DEPTH_TEST if os.environ.get("FREEPOSE_TINY_MODELS") else DepthConfig()
+            if config is not DEPTH_TEST and jax.devices()[0].platform in ("tpu", "axon"):
+                import dataclasses
+
+                # Biased flash attention in the BEiT trunk: 480p forward
+                # 213.7 -> 174.7 ms on one v5e (the dense path materializes
+                # the [16, 1201, 1201] fp32 logit+bias tensors per layer).
+                config = dataclasses.replace(
+                    config, beit=dataclasses.replace(config.beit, use_flash=True)
+                )
+        self.config = config
         self.model = ZoeDepthModel(self.config)
         if params is None:
             dummy = jnp.zeros((1, 3, self.config.image_size, self.config.image_size))

@@ -41,6 +41,27 @@ def test_grid_sample_matches_torch():
     np.testing.assert_allclose(ours, ref, atol=1e-5)
 
 
+def test_grid_sample_quad_matches_torch():
+    """The single-gather quad formulation == torch grid_sample, including
+    far-out-of-range and exactly-on-border samples."""
+    from freepose_tpu.models.grounding_dino import grid_sample_zeros_quad
+
+    rng = np.random.default_rng(1)
+    value = rng.random((2, 5, 7, 3)).astype(np.float32)
+    locs = (rng.random((2, 64, 2)).astype(np.float32) * 3.0 - 1.5)
+    locs[0, :8] = [[-1.0, -1.0], [1.0, 1.0], [-1.0, 1.0], [1.0, -1.0],
+                   [0.0, 0.0], [-0.999, 0.5], [2.9, 0.0], [0.0, -2.9]]
+    ours = np.asarray(grid_sample_zeros_quad(jnp.asarray(value), jnp.asarray(locs)))
+    ref = torch.nn.functional.grid_sample(
+        torch.tensor(value).permute(0, 3, 1, 2),
+        torch.tensor(locs)[:, None],
+        mode="bilinear", padding_mode="zeros", align_corners=False,
+    )[:, :, 0].permute(0, 2, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+    legacy = np.asarray(grid_sample_zeros(jnp.asarray(value), jnp.asarray(locs)))
+    np.testing.assert_allclose(ours, legacy, atol=1e-6)
+
+
 def test_sine_pos_2d_matches_hf():
     from transformers import GroundingDinoConfig as HFCfg
     from transformers.models.grounding_dino.modeling_grounding_dino import (
