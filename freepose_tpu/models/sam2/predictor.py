@@ -10,7 +10,13 @@ sam2_video_predictor.py:40-957), TPU-native:
     the stacked ObjectState pytree (the reference loops objects serially,
     sam2_video_predictor.py:658);
   * box prompts become 2 corner points with labels (2, 3) like the reference
-    video predictor (sam2_video_predictor.py:167-307).
+    video predictor (sam2_video_predictor.py:167-307);
+  * multi-chip: pass device_mesh to shard the per-object axis of the vmapped
+    track step over the mesh's "data" axis — M objects propagate in ~one
+    object's wall time (object groups pad to a multiple of the axis size
+    with no-prompt dummies; frame embeddings replicate; the joint
+    non-overlap argmax gathers over ICI). The reference scales only by
+    SLURM job sharding (SURVEY.md §5.8).
 """
 from __future__ import annotations
 
@@ -135,11 +141,18 @@ class Sam2ImagePredictor:
 class Sam2VideoPredictor:
     """Streaming multi-object video tracker with a batched functional state."""
 
-    def __init__(self, config: Sam2VideoConfig, params, max_objects: int = 8):
+    def __init__(
+        self, config: Sam2VideoConfig, params, max_objects: int = 8, device_mesh=None
+    ):
         self.config = config
         self.model = Sam2VideoModel(config)
         self.params = jax.tree.map(jnp.asarray, params)
         self.max_objects = max_objects
+        self.mesh = device_mesh
+        if device_mesh is not None:
+            from freepose_tpu.parallel.mesh import replicate
+
+            self.params = replicate(self.params, device_mesh)
 
         @jax.jit
         def _embed(params, pixels):
@@ -196,12 +209,19 @@ class Sam2VideoPredictor:
             "pyramid_cache": {},
         }
 
+    def _put_frame(self, frame):
+        if self.mesh is None:
+            return jax.device_put(frame)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(frame, NamedSharding(self.mesh, P()))
+
     def _frame_device(self, state, frame_idx: int):
         """Frame on device, via the async-prefetch cache when primed."""
         up = state.setdefault("upload_cache", {})
         arr = up.pop(frame_idx, None)
         if arr is None:
-            arr = jnp.asarray(state["frames"][frame_idx])
+            arr = self._put_frame(state["frames"][frame_idx])
         return arr
 
     def _prefetch_frame(self, state, frame_idx: int) -> None:
@@ -210,7 +230,7 @@ class Sam2VideoPredictor:
         up = state.setdefault("upload_cache", {})
         if 0 <= frame_idx < state["num_frames"] and frame_idx not in up:
             up.clear()  # keep at most one frame in flight
-            up[frame_idx] = jax.device_put(state["frames"][frame_idx])
+            up[frame_idx] = self._put_frame(state["frames"][frame_idx])
 
     def _frame_pyramid(self, state, frame_idx: int):
         cache = state["pyramid_cache"]
@@ -296,16 +316,46 @@ class Sam2VideoPredictor:
             )
         prompt_frame = min(groups)
 
+        # Object groups pad to a multiple of the mesh's data-axis size so the
+        # per-object axis shards evenly; dummies carry no-prompt labels and
+        # their outputs are dropped before assembly.
+        n_shards = self.mesh.shape["data"] if self.mesh is not None else 1
+
+        def _shard_objects(tree):
+            if self.mesh is None:
+                return tree
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            return jax.tree.map(
+                lambda a: jax.device_put(a, NamedSharding(self.mesh, P("data"))), tree
+            )
+
         def group_prompts(idxs):
-            pts = jnp.asarray(np.stack([state["prompts"][i][1] for i in idxs]))[:, None, None]
-            lbl = jnp.asarray(np.stack([state["prompts"][i][2] for i in idxs]))[:, None, None]
-            return pts, lbl
+            cap = self.config.max_point_prompts
+            pad = (-len(idxs)) % n_shards
+            pts_l = [state["prompts"][i][1] for i in idxs] + [
+                np.zeros((cap, 2), np.float32)
+            ] * pad
+            lbl_l = [state["prompts"][i][2] for i in idxs] + [
+                np.full((cap,), -10, np.int32)
+            ] * pad
+            pts = jnp.asarray(np.stack(pts_l))[:, None, None]
+            lbl = jnp.asarray(np.stack(lbl_l))[:, None, None]
+            return _shard_objects((pts, lbl))
 
         def group_states(idxs):
-            return jax.tree.map(
-                lambda *xs: jnp.stack(xs),
-                *[init_object_state(self.config) for _ in idxs],
+            count = len(idxs) + (-len(idxs)) % n_shards
+            return _shard_objects(
+                jax.tree.map(
+                    lambda *xs: jnp.stack(xs),
+                    *[init_object_state(self.config) for _ in range(count)],
+                )
             )
+
+        def take_real(out_g, idxs):
+            if (-len(idxs)) % n_shards == 0:
+                return out_g
+            return jax.tree.map(lambda a: a[: len(idxs)], out_g)
 
         live: dict[int, object] = {}  # prompt_frame -> stacked states
 
@@ -333,7 +383,7 @@ class Sam2VideoPredictor:
                     self.params, group_states(idxs), pyramid, raw_s2, pos_s2,
                     jnp.int32(t), jnp.int32(num_frames), pts, lbl,
                 )
-                outs.append((idxs, out_g))
+                outs.append((idxs, take_real(out_g, idxs)))
             for pf in sorted(live):
                 if pf == t:
                     continue  # just initialised this frame
@@ -342,7 +392,7 @@ class Sam2VideoPredictor:
                     self.params, live[pf], pyramid, raw_s2, pos_s2,
                     jnp.int32(t), jnp.int32(num_frames)
                 )
-                outs.append((groups[pf], out_g))
+                outs.append((groups[pf], take_real(out_g, groups[pf])))
 
             if len(outs) == 1 and len(outs[0][0]) == n:
                 low_raw = outs[0][1]["pred_masks"][:, 0]
