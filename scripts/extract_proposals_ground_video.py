@@ -53,7 +53,13 @@ def load_video_predictor(args):
         params = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 3, cfg.image_size, cfg.image_size)), method=full
         )["params"]
-    return Sam2VideoPredictor(cfg, params)
+    mesh = None
+    if getattr(args, "shard_objects", False):
+        from freepose_tpu.parallel.mesh import make_mesh, maybe_initialize_distributed
+
+        maybe_initialize_distributed()
+        mesh = make_mesh(data=len(jax.devices()), model=1)
+    return Sam2VideoPredictor(cfg, params, device_mesh=mesh)
 
 
 def main() -> None:
@@ -72,6 +78,9 @@ def main() -> None:
     ap.add_argument("--grounding-weights", default=None)
     ap.add_argument("--layer", type=int, default=22)
     ap.add_argument("--min-mask-px", type=int, default=400)
+    ap.add_argument("--shard-objects", action="store_true",
+                    help="shard SAM2 mask propagation per-object over the "
+                         "device mesh (multi-chip; M objects in ~1 object's time)")
     add_shard_args(ap)
     args = ap.parse_args()
 

@@ -15,13 +15,15 @@ from scipy.spatial.transform import Rotation as Rot
 REPO = Path(__file__).resolve().parent.parent
 
 
-def _run(args, timeout=1500):
+def _run(args, timeout=1500, extra_env=None):
     env = dict(os.environ)
     env["FREEPOSE_TINY_MODELS"] = "1"
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env["PYTHONPATH"] = str(REPO)
     env["FREEPOSE_TEMPLATE_VIEWS"] = "8"
+    if extra_env:
+        env.update(extra_env)
     r = subprocess.run(
         [sys.executable, "-m", args[0], *args[1:]], cwd=REPO, env=env,
         capture_output=True, text=True, timeout=timeout,
@@ -184,6 +186,16 @@ def test_video_proposals_cli_runs(video_ws):
     for p in out:  # any surviving masks must be valid BOP entries
         assert {"bbox", "segmentation", "mesh", "image_id"} <= set(p)
         assert p["mesh"] in {"m0", "m1", "m2", "blobmesh"}
+    # --shard-objects: the object axis of the SAM2 propagation shards over
+    # an 8-virtual-device mesh; the CLI must produce the identical JSON.
+    _run([
+        "scripts.extract_proposals_ground_video", "--video-dir", str(ws / "frames"),
+        "--bank", str(ws / "bank.npy"), "--filelist", str(ws / "banklist.txt"),
+        "--out", str(ws / "vprops-sharded.json"), "--detector", "boxes",
+        "--boxes", str(ws / "boxes0.npy"), "--min-mask-px", "0", "--shard-objects",
+    ], extra_env={"XLA_FLAGS": "--xla_force_host_platform_device_count=8"})
+    sharded = json.loads((ws / "vprops-sharded.json").read_text())
+    assert sharded == out
 
 
 def test_compute_scale_video_cli(video_ws):
