@@ -54,12 +54,16 @@ def main_refine() -> None:
         make_args(tiny=TINY, no_uncached=True, frames=8 if TINY else 40,
                   warmup=2 if TINY else 8)
     )
-    fps = 1e3 / res["cached_ms_mean"]
+    # Headline: the autonomous device-cache chain (closed-loop streaming —
+    # the video pipeline's real per-frame cost); serial cached as fallback.
+    ms = res.get("auto_ms_mean") or res.get("chain_ms_mean") or res["cached_ms_mean"]
+    fps = 1e3 / ms
     print(
         json.dumps(
             {
-                "metric": "video fine-refine step FPS per chip (20k grid, "
-                "DINOv2-L bf16, fine-view cache, 2 deg/frame)",
+                "metric": "video fine-refine FPS per chip (20k grid, "
+                "DINOv2-L bf16, autonomous device fine-view cache, "
+                "closed-loop chain, 2 deg/frame)",
                 "value": round(fps, 2),
                 "unit": "FPS",
                 "vs_baseline": round(fps / TARGET_FPS, 3),

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from collections import OrderedDict
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -89,6 +90,10 @@ class FineViewCache:
         self.feats = None  # [C+1, G², D]
         self.masks = None  # [C+1, R, R] bool
         self.stats = None  # [C+1, 3, 3] (min, max, mean rows)
+        # Device mirror of slot_of for the pipelined chain mode: [NF+1] int32
+        # (-1 = uncached; row NF is scratch). Created by enable_slot_table.
+        self.slot_table = None
+        self.last_evicted: list[int] = []
 
     def ensure_buffers(self, g2: int, d: int, res: int, dtype) -> None:
         if self.feats is None:
@@ -114,14 +119,25 @@ class FineViewCache:
                 self.free.append(self.slot_of.pop(gi))
                 del self.lru[gi]
 
+    def enable_slot_table(self, n_fine: int) -> None:
+        """Create the device slot table (chain mode) mirroring slot_of."""
+        if self.slot_table is None:
+            table = np.full(n_fine + 1, -1, np.int32)
+            for gi, slot in self.slot_of.items():
+                table[gi] = slot
+            self.slot_table = jnp.asarray(table)
+
     def assign_slots(self, missing: list[int], protect: np.ndarray) -> np.ndarray:
         """Allocate a slot per missing grid index, evicting LRU entries not
         in `protect` (the current neighbourhood) when full. Entries assigned
         within this call are protected from its later evictions — with
         capacity ≥ n_neighbors this guarantees an evictable victim exists
-        for every real miss (prefetch is capped by the caller)."""
+        for every real miss (prefetch is capped by the caller). Victims are
+        recorded in `last_evicted` (chain mode mirrors them to the device
+        slot table)."""
         protected = set(int(i) for i in protect)
         slots = []
+        self.last_evicted = []
         for gi in missing:
             if self.free:
                 slot = self.free.pop()
@@ -129,6 +145,7 @@ class FineViewCache:
                 victim = next(i for i in self.lru if i not in protected)
                 slot = self.slot_of.pop(victim)
                 del self.lru[victim]
+                self.last_evicted.append(victim)
             self.slot_of[gi] = slot
             self.lru[gi] = None
             protected.add(gi)
@@ -403,6 +420,76 @@ def cached_refine_hit_multi(
     return jnp.stack(tcos), jnp.stack(scores), jnp.stack(locals_), qf
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def update_slot_table(table, evicted_idx, new_idx, new_slots):
+    """Mirror a miss-frame's slot assignment into the device table. Padded
+    entries point at the scratch row (index NF) / carry slot `capacity` and
+    are filtered by the caller via that scratch row."""
+    return table.at[evicted_idx].set(-1).at[new_idx].set(new_slots)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "extractor", "layer", "resolution", "mask_scores", "rendering_scale",
+        "neighborhood_deg", "n_neighbors",
+    ),
+)
+def cached_refine_hit_chain(
+    feats_buf, masks_buf, stats_buf,
+    fine_poses,  # [NF, 4, 4]
+    slot_table,  # [NF+1] int32 device mirror of the cache's slot map
+    prev_idx,  # [] int32 fine-grid index of the previous frame's pose
+    fe_params, proposal,
+    proposal_mask, k, bbox, est_scale,
+    *, extractor, layer, resolution, mask_scores, rendering_scale,
+    neighborhood_deg, n_neighbors,
+):
+    """Speculative pipelined hit step: neighbourhood selection runs ON DEVICE
+    from the previous frame's grid index (exact: the refine output's rotation
+    IS a grid rotation, and device/host top-k tie-breaking matches —
+    tests/test_fine_cache.py), so consecutive frames chain without a host
+    round trip. Returns a packed [16+3+N] f32 vector (tcos, score, next grid
+    index, all-hit flag, neighbourhood indices) the host fetches with a lag,
+    plus the next grid index as a device scalar feeding the next step. If any
+    neighbourhood slot is uncached the flag is 0 and the host replays the
+    frame through the classic miss path (this step writes nothing, so a wrong
+    speculation costs only its own dispatch)."""
+    from freepose_tpu.models.dinov2 import _extract_jit
+    from freepose_tpu.pipeline.online_pose_estimator import select_neighborhood
+    from freepose_tpu.pipeline.template_bank import normalize_feats
+
+    sel_poses, idx, valid = select_neighborhood(
+        fine_poses, fine_poses[prev_idx], neighborhood_deg, n_neighbors
+    )
+    slots = slot_table[idx]
+    hit = jnp.all(slots >= 0)
+    capacity = feats_buf.shape[0] - 1
+    gather = jnp.where(slots >= 0, slots, capacity).astype(jnp.int32)
+    evalid = valid & (slots >= 0)
+
+    qf = normalize_feats(
+        _extract_jit.__wrapped__(extractor, fe_params, proposal[None], layer, "patch")[0]
+    )
+    tcos, score, local = _gather_rescore_lift(
+        feats_buf, masks_buf, stats_buf, qf, gather, evalid, sel_poses,
+        proposal_mask, k, bbox, est_scale,
+        resolution=resolution, patch_size=extractor.config.patch_size,
+        mask_scores=mask_scores, rendering_scale=rendering_scale,
+    )
+    next_idx = idx[local]
+    packed = jnp.concatenate([
+        tcos[0].reshape(-1).astype(jnp.float32),
+        jnp.stack([
+            score[0].astype(jnp.float32),
+            next_idx.astype(jnp.float32),
+            hit.astype(jnp.float32),
+        ]),
+        idx.astype(jnp.float32),
+    ])
+    return packed, next_idx
+
+
 def _gather_rescore_lift(
     feats_buf, masks_buf, stats_buf, qf, gather_slots, valid, sel_poses,
     proposal_mask, k, bbox, est_scale, *, resolution, patch_size, mask_scores,
@@ -423,3 +510,207 @@ def _gather_rescore_lift(
         scores, st[:, 0], st[:, 1], st[:, 2], sel_poses, k, bbox, est_scale,
         rendering_scale,
     )
+
+
+# --------------------------------------------------------------------------- #
+# Autonomous device-side cache: slot table, LRU ages and eviction live in
+# device arrays, and the per-frame step SELF-SERVES its cache misses inside
+# lax.cond — the host keeps no slot bookkeeping at all, so frames enqueue
+# back-to-back with zero host round trips in steady state (the TPU-native
+# endpoint of the fine-view cache design).
+# --------------------------------------------------------------------------- #
+
+class DeviceCache(NamedTuple):
+    feats: jax.Array  # [C+1, G², D] (+1 scratch slot)
+    masks: jax.Array  # [C+1, R, R] bool
+    stats: jax.Array  # [C+1, 3, 3]
+    slot_table: jax.Array  # [NF+1] int32, -1 = uncached (+1 scratch row)
+    grid_of: jax.Array  # [C+1] int32 resident grid index (NF = none)
+    last_used: jax.Array  # [C+1] int32 frame of last touch (-1 = free)
+    frame: jax.Array  # [] int32 monotone step counter
+
+
+def init_device_cache(
+    capacity: int, g2: int, d: int, res: int, n_fine: int, dtype
+) -> DeviceCache:
+    c = capacity + 1
+    return DeviceCache(
+        feats=jnp.zeros((c, g2, d), dtype),
+        masks=jnp.zeros((c, res, res), bool),
+        stats=jnp.zeros((c, 3, 3), jnp.float32),
+        slot_table=jnp.full((n_fine + 1,), -1, jnp.int32),
+        grid_of=jnp.full((c,), n_fine, jnp.int32),
+        last_used=jnp.full((c,), -1, jnp.int32),
+        frame=jnp.int32(0),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "extractor", "layer", "settings", "pose_chunk", "resolution",
+        "mask_scores", "rendering_scale", "neighborhood_deg", "n_neighbors",
+        "miss_bucket", "zoom",
+    ),
+    donate_argnums=(0,),
+)
+def cached_refine_auto_step(
+    state: DeviceCache,
+    fine_poses,  # [NF, 4, 4]
+    prev_pose,  # [4, 4] previous frame's refined pose (device-chained)
+    v, c, f, fv, k_render,  # padded mesh + render intrinsics
+    fe_params,
+    proposal, proposal_mask, k, bbox, est_scale,
+    *, extractor, layer, settings, pose_chunk, resolution, mask_scores,
+    rendering_scale, neighborhood_deg, n_neighbors, miss_bucket, zoom=False,
+):
+    """One fully-autonomous refine step: select the neighbourhood, self-serve
+    up to `miss_bucket` cache misses (render + featurize + LRU-evict +
+    scatter), rescore, z-lift — all on device. Returns (state', packed, tcos)
+    where packed = [16 tcos | score | ok | n_miss] f32 is fetched lazily by
+    the host and tcos chains into the next step's prev_pose. ok=0 (more than
+    miss_bucket misses — a trajectory jump) tells the host to re-dispatch the
+    frame with the full-neighbourhood variant (miss_bucket=n_neighbors always
+    succeeds). Bucket padding prefetches the nearest uncached poses, so miss
+    frames pre-cache what the trajectory needs next.
+
+    Exactness: every cached view is a pure function of its grid index, so an
+    ok step's output equals the uncached refine bit-for-bit; eviction order
+    (device LRU by last-touch age, free slots first) affects only FUTURE
+    hit/miss timing, never results."""
+    from freepose_tpu.models.dinov2 import _extract_jit
+    from freepose_tpu.pipeline.online_pose_estimator import (
+        render_view_block, select_neighborhood,
+    )
+    from freepose_tpu.pipeline.template_bank import normalize_feats
+
+    n_fine = fine_poses.shape[0]
+    capacity = state.feats.shape[0] - 1
+    sel_poses, idx, valid = select_neighborhood.__wrapped__(
+        fine_poses, prev_pose, neighborhood_deg, n_neighbors
+    )
+    slots0 = state.slot_table[idx]
+    miss_mask = slots0 < 0
+    m = jnp.sum(miss_mask.astype(jnp.int32))
+    ok = m <= miss_bucket
+
+    qf = normalize_feats(
+        _extract_jit.__wrapped__(extractor, fe_params, proposal[None], layer, "patch")[0]
+    )
+
+    def hit_branch(st):
+        return st
+
+    def miss_branch(st):
+        # Missing grid indices in selection order, then prefetch padding
+        # (nearest uncached outside the neighbourhood).
+        order = jnp.argsort(
+            jnp.where(miss_mask, 0, 1) * n_neighbors + jnp.arange(n_neighbors)
+        )
+        miss_sorted = idx[order]
+        dists = geodesic_all(fine_poses, prev_pose)
+        pd = jnp.where(state.slot_table[:n_fine] >= 0, jnp.inf, dists)
+        pd = pd.at[idx].set(jnp.inf)
+        neg_pf, pf_idx = jax.lax.top_k(-pd, miss_bucket)
+        pf_real = jnp.isfinite(neg_pf)
+
+        pos = jnp.arange(miss_bucket)
+        take_miss = pos < m
+        pfi = jnp.clip(pos - m, 0, miss_bucket - 1)
+        gi = jnp.where(
+            take_miss, miss_sorted[jnp.minimum(pos, n_neighbors - 1)], pf_idx[pfi]
+        )
+        # Prefetch writes are capped at capacity − n_neighbors: the m misses
+        # always find victims (their own absent slots free up protection
+        # budget), but every extra write shrinks the evictable pool — the
+        # same invariant the host-side planner enforces via max_prefetch.
+        max_prefetch = max(0, capacity - n_neighbors)
+        real = take_miss | (pf_real[pfi] & (pos < m + max_prefetch))
+        # Overflow (m > miss_bucket): process only the first miss_bucket
+        # misses; ok=False signals the host to re-dispatch.
+        gi = jnp.where(real, gi, miss_sorted[0]).astype(jnp.int32)
+
+        # Sequential LRU victim pick: free slots (age -1) first, then oldest;
+        # protected = current neighbourhood residents + this frame's writes
+        # + the scratch slot.
+        protect = jnp.zeros((capacity + 1,), bool).at[capacity].set(True)
+        present_slots = jnp.where(slots0 >= 0, slots0, capacity)
+        protect = protect.at[present_slots].set(True)
+
+        def pick(i, carry):
+            protect, victims = carry
+            cand = jnp.where(protect, jnp.iinfo(jnp.int32).max, state.last_used)
+            vslot = jnp.argmin(cand).astype(jnp.int32)
+            exhausted = cand[vslot] == jnp.iinfo(jnp.int32).max
+            vslot = jnp.where(real[i] & ~exhausted, vslot, capacity)
+            victims = victims.at[i].set(vslot)
+            protect = protect.at[vslot].set(True)
+            return protect, victims
+
+        _, victims = jax.lax.fori_loop(
+            0, miss_bucket, pick,
+            (protect, jnp.zeros((miss_bucket,), jnp.int32)),
+        )
+
+        # Render + featurize the batch.
+        props, rmasks, (smin, smax, smean) = render_view_block(
+            v, c, f, fv, fine_poses[gi], k_render, settings, pose_chunk,
+            resolution, zoom,
+        )
+        nf = normalize_feats(
+            _extract_jit.__wrapped__(extractor, fe_params, props, layer, "patch")
+        )
+        feats = st.feats.at[victims].set(nf.astype(st.feats.dtype))
+        masks = st.masks.at[victims].set(rmasks)
+        stats = st.stats.at[victims].set(jnp.stack([smin, smax, smean], axis=1))
+
+        # Table maintenance: invalidate the victims' old residents, then map
+        # the new ones (old grid ids are previously-cached, new ones are
+        # uncached — disjoint sets, so update order is safe). `wrote` masks
+        # entries that landed in a real slot (not the scratch slot), so the
+        # table never points a grid index at scratch.
+        wrote = victims < capacity
+        old_gi = st.grid_of[victims]
+        gi_write = jnp.where(wrote, gi, n_fine)
+        slot_table = st.slot_table.at[old_gi].set(-1).at[gi_write].set(victims)
+        slot_table = slot_table.at[n_fine].set(-1)
+        grid_of = st.grid_of.at[victims].set(gi_write)
+        last_used = st.last_used.at[victims].set(
+            jnp.where(wrote, st.frame, st.last_used[victims])
+        )
+        return DeviceCache(feats, masks, stats, slot_table, grid_of, last_used, st.frame)
+
+    st = jax.lax.cond(m > 0, miss_branch, hit_branch, state)
+
+    slots_after = st.slot_table[idx]
+    present = slots_after >= 0
+    gather = jnp.where(present, slots_after, capacity).astype(jnp.int32)
+    evalid = valid & present
+    tcos, score, local = _gather_rescore_lift(
+        st.feats, st.masks, st.stats, qf, gather, evalid, sel_poses,
+        proposal_mask, k, bbox, est_scale,
+        resolution=resolution, patch_size=extractor.config.patch_size,
+        mask_scores=mask_scores, rendering_scale=rendering_scale,
+    )
+    # Touch the neighbourhood (LRU recency) and advance the clock.
+    last_used = st.last_used.at[gather].set(
+        jnp.where(present, st.frame, st.last_used[gather])
+    )
+    last_used = last_used.at[capacity].set(-1)
+    st = st._replace(last_used=last_used, frame=st.frame + 1)
+
+    packed = jnp.concatenate([
+        tcos[0].reshape(-1).astype(jnp.float32),
+        jnp.stack([
+            score[0].astype(jnp.float32),
+            ok.astype(jnp.float32),
+            m.astype(jnp.float32),
+        ]),
+    ])
+    return st, packed, tcos[0]
+
+
+def geodesic_all(fine_poses: jax.Array, pose: jax.Array) -> jax.Array:
+    from freepose_tpu.geometry.rotation import geodesic_distance
+
+    return geodesic_distance(fine_poses[:, :3, :3], pose[:3, :3])

@@ -503,13 +503,7 @@ class OnlinePoseEstimator:
             FineViewCache, select_neighborhood_host,
         )
 
-        cache = self._fine_caches.get(key)
-        if cache is None:
-            cache = self._fine_caches[key] = FineViewCache(self.fine_cache_capacity)
-            cfg = self.extractor.config
-            res = self.renderer.resolution
-            grid = res // cfg.patch_size
-            cache.ensure_buffers(grid * grid, cfg.hidden_size, res, cfg.dtype)
+        cache = self._ensure_cache(key)
         last = self._last_prev_rot.get(key)
         r_prev = prev_np[:3, :3]
         pred = (r_prev @ last.T) @ r_prev if last is not None else None
@@ -521,6 +515,19 @@ class OnlinePoseEstimator:
         missing = cache.missing(sel_idx)
         cache.touch(sel_idx)
         return cache, sel_idx, valid, near_extra, missing
+
+    def _ensure_cache(self, key):
+        """Get or create the per-track FineViewCache for `key`."""
+        from freepose_tpu.pipeline.fine_cache import FineViewCache
+
+        cache = self._fine_caches.get(key)
+        if cache is None:
+            cache = self._fine_caches[key] = FineViewCache(self.fine_cache_capacity)
+            cfg = self.extractor.config
+            res = self.renderer.resolution
+            grid = res // cfg.patch_size
+            cache.ensure_buffers(grid * grid, cfg.hidden_size, res, cfg.dtype)
+        return cache
 
     def _natural_bucket(self, cache, missing) -> int:
         """Miss-bucket size for one object: the miss count plus the prefetch
@@ -553,6 +560,20 @@ class OnlinePoseEstimator:
             new_idx = np.concatenate([new_idx, np.full(pad, new_idx[0], np.int32)])
             write_slots = np.concatenate(
                 [write_slots, np.full(pad, cache.capacity, np.int32)]
+            )
+        if cache.slot_table is not None:
+            # Chain mode: mirror the assignment into the device slot table
+            # (padded rows target the scratch row NF / slot `capacity`).
+            from freepose_tpu.pipeline.fine_cache import update_slot_table
+
+            nf = cache.slot_table.shape[0] - 1
+            ev = np.asarray(
+                (cache.last_evicted + [nf] * m_b)[:m_b], np.int32
+            )
+            gi_set = np.where(write_slots < cache.capacity, new_idx, nf).astype(np.int32)
+            cache.slot_table = update_slot_table(
+                cache.slot_table, jnp.asarray(ev), jnp.asarray(gi_set),
+                jnp.asarray(write_slots),
             )
         return new_idx, write_slots
 
@@ -804,3 +825,277 @@ def score_and_lift_from_stats(
     tcos = tcos.at[:, 1, 3].set(y)
     tcos = tcos.at[:, 2, 3].set(z)
     return tcos, top_score, top_idx[0]
+
+
+class CachedRefineChain:
+    """Pipelined streaming driver for single-object cached refine.
+
+    The serial per-frame loop pays a full host<->device round trip per frame:
+    fetch pose t-1 -> host neighbourhood selection -> dispatch frame t. Here
+    selection runs ON DEVICE (fine_cache.cached_refine_hit_chain) from the
+    previous step's grid index, so consecutive frames enqueue back-to-back
+    and the host fetches results asynchronously `lag` frames behind. Closed
+    loop only (prev pose = own refine output — exactly the video pipeline's
+    feedback, reference dino_inference_video.py:144-156).
+
+    Exactness: a speculative step is USED only when every neighbourhood view
+    was cached (all-hit); otherwise the host replays the frame through the
+    classic miss path — with identical LRU touch order, eviction protection
+    and prefetch-prediction state — and re-enqueues the later speculative
+    frames. Results therefore equal the serial closed-loop refine_cached
+    sequence bit-for-bit (tests/test_fine_cache.py).
+    """
+
+    def __init__(
+        self, est: "OnlinePoseEstimator", mesh, cache_key, *,
+        neighborhood_deg: float = 15.0, mask_scores: bool = False, lag: int = 3,
+    ):
+        from collections import deque
+
+        self.est = est
+        self.mesh = mesh
+        self.key = cache_key
+        self.deg = float(neighborhood_deg)
+        self.mask_scores = mask_scores
+        self.lag = max(1, lag)
+        self.pending: "deque" = deque()
+        self.results: list[tuple[np.ndarray, float]] = []
+        self.n_spec_hits = 0  # speculative frames used as-is
+        self.n_replayed = 0  # speculative frames replayed via the miss path
+        self._prev_idx_dev = None
+        self._prev_rots = deque(maxlen=2)  # rotation used as prev for the last 2 frames
+        self._cache = est._ensure_cache(cache_key)
+        self._cache.enable_slot_table(est.fine_poses.shape[0])
+
+    # ---------------------------------------------------------------- #
+    def submit(self, proposal, proposal_mask, k, bbox, est_scale, prev_pose=None):
+        """Queue one frame. The FIRST frame needs prev_pose (the coarse/init
+        pose); later frames chain from the refine output (closed loop)."""
+        inputs = (
+            jnp.asarray(proposal), jnp.asarray(proposal_mask),
+            jnp.asarray(k, jnp.float32), jnp.asarray(bbox, jnp.float32),
+            jnp.asarray(est_scale, jnp.float32),
+        )
+        if self._prev_idx_dev is None:
+            if prev_pose is None:
+                raise ValueError("first frame needs prev_pose")
+            prev_np = np.asarray(prev_pose)
+            self._prev_rots.append(prev_np[:3, :3].copy())
+            out = self.est.refine_cached(
+                inputs[0], inputs[1], self.mesh, inputs[2], inputs[3],
+                inputs[4], jnp.asarray(prev_np), self.deg,
+                mask_scores=self.mask_scores, cache_key=self.key,
+            )
+            self._note_classic(out)
+            self.pending.append(("classic", inputs, out))
+        else:
+            if prev_pose is not None:
+                raise ValueError("chain is closed-loop; prev_pose only seeds frame 0")
+            self._submit_spec(inputs)
+        self._drain(self.lag)
+
+    def finalize_all(self) -> list[tuple[np.ndarray, float]]:
+        """Flush the pipeline; returns [(pose 4x4, score)] for every frame."""
+        self._drain(0)
+        return self.results
+
+    # ---------------------------------------------------------------- #
+    def _note_classic(self, out: PoseEstimate) -> None:
+        self._prev_idx_dev = out.view_indices
+        for a in (out.tcos, out.scores):
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+
+    def _submit_spec(self, inputs) -> None:
+        from freepose_tpu.pipeline.fine_cache import cached_refine_hit_chain
+
+        est, cache = self.est, self._cache
+        packed, nxt = cached_refine_hit_chain(
+            cache.feats, cache.masks, cache.stats, est.fine_poses,
+            cache.slot_table, self._prev_idx_dev, est.extractor.params,
+            inputs[0], inputs[1], inputs[2], inputs[3], inputs[4],
+            extractor=est.extractor, layer=est.feature_layer,
+            resolution=est.renderer.resolution, mask_scores=self.mask_scores,
+            rendering_scale=est.rendering_scale,
+            neighborhood_deg=self.deg, n_neighbors=est.n_neighbors,
+        )
+        try:
+            packed.copy_to_host_async()
+        except Exception:
+            pass
+        self._prev_idx_dev = nxt
+        self.pending.append(("spec", inputs, packed))
+
+    def _finalize(self, tc: np.ndarray, score: float) -> None:
+        self.results.append((tc, float(score)))
+        self._prev_rots.append(tc[:3, :3].copy())
+
+    def _drain(self, allowed: int) -> None:
+        while len(self.pending) > allowed:
+            kind, inputs, handle = self.pending.popleft()
+            if kind == "classic":
+                tc = np.asarray(handle.tcos)[0]
+                self._finalize(tc, float(np.asarray(handle.scores)[0]))
+                continue
+            p = np.asarray(handle)
+            if p[18] > 0.5:  # all-hit: speculation valid
+                self.n_spec_hits += 1
+                self._cache.touch(p[19:].astype(np.int64))
+                self._finalize(p[:16].reshape(4, 4), p[16])
+            elif allowed > 0:
+                # Replay refills the queue with just-enqueued work; stop
+                # draining so those results age `lag` frames before their
+                # fetch (finalize_all passes allowed=0 and drains through).
+                self.n_replayed += 1
+                self._replay(inputs)
+                break
+            else:
+                self.n_replayed += 1
+                self._replay(inputs)
+
+    def _replay(self, inputs) -> None:
+        """A speculative frame missed: rerun it through the classic path
+        (identical host state to the serial loop), then re-enqueue the later
+        speculative frames from the corrected pose."""
+        est = self.est
+        # Restore the prefetch-prediction state the serial loop would hold:
+        # _last_prev_rot = the rotation used as prev by the PREVIOUS frame.
+        if len(self._prev_rots) == 2:
+            est._last_prev_rot[self.key] = self._prev_rots[0]
+        else:
+            est._last_prev_rot.pop(self.key, None)
+        prev = np.eye(4, dtype=np.float64)
+        prev[:3, :3] = self.results[-1][0][:3, :3]
+        out = est.refine_cached(
+            inputs[0], inputs[1], self.mesh, inputs[2], inputs[3], inputs[4],
+            jnp.asarray(prev), self.deg, mask_scores=self.mask_scores,
+            cache_key=self.key,
+        )
+        self._note_classic(out)
+        # No blocking fetch here: the re-enqueued speculative frames chain
+        # from the classic step's device-side grid index; its result
+        # finalizes lazily (FIFO, before any frame that could need it).
+        rest = list(self.pending)
+        self.pending.clear()
+        self.pending.append(("classic", inputs, out))
+        for _kind, inputs2, _h in rest:
+            self._submit_spec(inputs2)
+
+
+class AutoRefineChain:
+    """Fully-autonomous pipelined refine: the cache's slot table, LRU ages
+    and eviction live ON DEVICE (fine_cache.DeviceCache), and every frame is
+    one self-contained step that serves its own cache misses
+    (fine_cache.cached_refine_auto_step). The host keeps NO slot bookkeeping
+    — it feeds query crops, chains each step's pose output into the next
+    step device-side, and fetches packed results `lag` frames behind.
+
+    The stream step's miss bucket is small (default 8: at 1-3°/frame a
+    neighbourhood turns over a few views per frame); a trajectory jump with
+    more misses flags ok=0 and the host re-dispatches that frame with the
+    full-neighbourhood variant (miss_bucket = n_neighbors, always succeeds)
+    and re-enqueues the frames behind it. Results equal the serial
+    refine_cached closed loop (every view is an exact function of its grid
+    index; eviction order affects only future hit/miss timing)."""
+
+    def __init__(
+        self, est: "OnlinePoseEstimator", mesh, cache_key=None, *,
+        neighborhood_deg: float = 15.0, mask_scores: bool = False,
+        lag: int = 3, miss_bucket: int = 16,
+    ):
+        from collections import deque
+
+        from freepose_tpu.pipeline.fine_cache import init_device_cache
+
+        self.est = est
+        self.mesh = mesh
+        self.deg = float(neighborhood_deg)
+        self.mask_scores = mask_scores
+        self.lag = max(1, lag)
+        self.miss_bucket = miss_bucket
+        self.pending: "deque" = deque()
+        self.results: list[tuple[np.ndarray, float]] = []
+        self.n_full_redispatch = 0
+        cfg = est.extractor.config
+        res = est.renderer.resolution
+        grid = res // cfg.patch_size
+        self.state = init_device_cache(
+            est.fine_cache_capacity, grid * grid, cfg.hidden_size, res,
+            est.fine_poses.shape[0], cfg.dtype,
+        )
+        key = cache_key if cache_key is not None else id(mesh)
+        self._mesh_bufs = est._padded_mesh(key, mesh)
+        self._prev_pose_dev = None
+
+    def _step(self, inputs, prev_pose, bucket):
+        from freepose_tpu.pipeline.fine_cache import cached_refine_auto_step
+
+        est = self.est
+        v, c, f, fv = self._mesh_bufs
+        self.state, packed, pose = cached_refine_auto_step(
+            self.state, est.fine_poses, prev_pose,
+            v, c, f, fv, est.renderer.k, est.extractor.params,
+            inputs[0], inputs[1], inputs[2], inputs[3], inputs[4],
+            extractor=est.extractor, layer=est.feature_layer,
+            settings=est.renderer.settings, pose_chunk=est.renderer.pose_chunk,
+            resolution=est.renderer.resolution, mask_scores=self.mask_scores,
+            rendering_scale=est.rendering_scale,
+            neighborhood_deg=self.deg, n_neighbors=est.n_neighbors,
+            miss_bucket=bucket, zoom=est.zoom_renders,
+        )
+        try:
+            packed.copy_to_host_async()
+        except Exception:
+            pass
+        self._prev_pose_dev = pose
+        return packed
+
+    def submit(self, proposal, proposal_mask, k, bbox, est_scale, prev_pose=None):
+        inputs = (
+            jnp.asarray(proposal), jnp.asarray(proposal_mask),
+            jnp.asarray(k, jnp.float32), jnp.asarray(bbox, jnp.float32),
+            jnp.asarray(est_scale, jnp.float32),
+        )
+        if self._prev_pose_dev is None:
+            if prev_pose is None:
+                raise ValueError("first frame needs prev_pose")
+            # Cold cache: the whole neighbourhood misses — full bucket.
+            packed = self._step(
+                inputs, jnp.asarray(prev_pose, jnp.float32), self.est.n_neighbors
+            )
+        else:
+            if prev_pose is not None:
+                raise ValueError("chain is closed-loop; prev_pose only seeds frame 0")
+            packed = self._step(inputs, self._prev_pose_dev, self.miss_bucket)
+        self.pending.append((inputs, packed))
+        self._drain(self.lag)
+
+    def finalize_all(self) -> list[tuple[np.ndarray, float]]:
+        self._drain(0)
+        return self.results
+
+    def _drain(self, allowed: int) -> None:
+        while len(self.pending) > allowed:
+            inputs, handle = self.pending.popleft()
+            p = np.asarray(handle)
+            if p[17] > 0.5:  # ok
+                self.results.append((p[:16].reshape(4, 4), float(p[16])))
+                continue
+            # Trajectory jump: re-dispatch this frame with the full bucket
+            # from the last good pose, then re-enqueue the frames behind it.
+            self.n_full_redispatch += 1
+            prev = jnp.asarray(self.results[-1][0], jnp.float32)
+            packed = self._step(inputs, prev, self.est.n_neighbors)
+            rest = list(self.pending)
+            self.pending.clear()
+            self.pending.append((inputs, packed))
+            for inputs2, _h in rest:
+                self._step2_requeue(inputs2)
+            if allowed > 0:
+                break
+
+    def _step2_requeue(self, inputs) -> None:
+        packed = self._step(inputs, self._prev_pose_dev, self.miss_bucket)
+        self.pending.append((inputs, packed))

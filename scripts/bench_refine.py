@@ -307,6 +307,70 @@ def run_refine_bench(args) -> dict:
         ms_u, med_u, _ = run(mk(0), "uncached", use_cache=False)
         print(f"speedup: {ms_u / ms_c:.2f}x (median {med_u / med_c:.2f}x)")
         out.update(uncached_ms_mean=ms_u, uncached_ms_median=med_u)
+
+    if not args.no_chain:
+        # Pipelined chain, CLOSED LOOP (prev pose = own refine output — the
+        # video pipeline's real feedback): device-side selection lets frames
+        # enqueue back-to-back, so the per-frame host round trip of the
+        # serial walk pipelines away. Query crops pre-render from the true
+        # trajectory so the tracker follows it (comparable miss rate).
+        from freepose_tpu.pipeline.online_pose_estimator import CachedRefineChain
+
+        n_total = args.warmup + args.frames
+        crops = []
+        for p in traj[:n_total]:
+            rgb, depth = renderer.render_from_poses(mesh, jnp.asarray(p)[None])
+            pr, ma, bo = renderer.generate_proposals(rgb, depth)
+            crops.append((pr[0], ma[0], bo[0].astype(jnp.float32)))
+        jax.block_until_ready(crops[-1][0])
+        prev0 = jnp.asarray(traj[0])
+
+        def chain_run(est, key):
+            chain = CachedRefineChain(
+                est, mesh, key, mask_scores=args.mask_scores, lag=args.chain_lag
+            )
+            t0 = time.perf_counter()
+            for t, (pr, ma, bo) in enumerate(crops):
+                chain.submit(pr, ma, k, bo, 0.15, prev_pose=prev0 if t == 0 else None)
+            res = chain.finalize_all()
+            dt = time.perf_counter() - t0
+            return 1e3 * dt / len(crops), chain, res
+
+        est_ch = mk(max(args.cache, args.n_neighbors))
+        chain_run(est_ch, "chain-warm")  # compile classic buckets + chain step
+        del est_ch._fine_caches["chain-warm"]
+        ms_ch, chain, _res = chain_run(est_ch, "chain")
+        print(
+            f"chain   : {ms_ch:.1f} ms/frame = {1e3 / ms_ch:.2f} FPS/chip "
+            f"(closed loop, lag {args.chain_lag}; {chain.n_spec_hits} spec hits, "
+            f"{chain.n_replayed} replays over {len(crops)} frames)"
+        )
+        out.update(chain_ms_mean=ms_ch, chain_spec_hits=chain.n_spec_hits,
+                   chain_replays=chain.n_replayed)
+
+        # Fully-autonomous device-cache chain: slot table + LRU + self-served
+        # misses on device, zero host bookkeeping (fine_cache.DeviceCache).
+        from freepose_tpu.pipeline.online_pose_estimator import AutoRefineChain
+
+        def auto_run():
+            ch = AutoRefineChain(
+                est_ch, mesh, "auto", mask_scores=args.mask_scores,
+                lag=args.chain_lag, miss_bucket=args.auto_bucket,
+            )
+            t0 = time.perf_counter()
+            for t, (pr, ma, bo) in enumerate(crops):
+                ch.submit(pr, ma, k, bo, 0.15, prev_pose=prev0 if t == 0 else None)
+            ch.finalize_all()
+            return 1e3 * (time.perf_counter() - t0) / len(crops), ch
+
+        auto_run()  # compile both auto-step variants
+        ms_au, auto = auto_run()
+        print(
+            f"auto    : {ms_au:.1f} ms/frame = {1e3 / ms_au:.2f} FPS/chip "
+            f"(device-side cache, bucket {args.auto_bucket}, lag "
+            f"{args.chain_lag}; {auto.n_full_redispatch} full re-dispatches)"
+        )
+        out.update(auto_ms_mean=ms_au, auto_redispatches=auto.n_full_redispatch)
     return out
 
 
@@ -329,6 +393,13 @@ def _parser() -> argparse.ArgumentParser:
     ap.add_argument("--deg-per-frame", type=float, default=2.0)
     ap.add_argument("--cache", type=int, default=256)
     ap.add_argument("--no-uncached", action="store_true", help="skip the uncached baseline")
+    ap.add_argument("--no-chain", action="store_true",
+                    help="skip the pipelined closed-loop chain measurement")
+    ap.add_argument("--chain-lag", type=int, default=3,
+                    help="frames the chain's host finalize trails the dispatch")
+    ap.add_argument("--auto-bucket", type=int, default=16,
+                    help="stream miss bucket of the autonomous device-cache chain "
+                         "(swept on v5e at 2°/frame: 8→90.4, 16→82.0 ms/frame)")
     ap.add_argument("--mask-scores", action="store_true")
     ap.add_argument("--zoom", action="store_true", help="zoomed-K fine renders (see --zoom-renders)")
     ap.add_argument(

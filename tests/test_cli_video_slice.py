@@ -285,3 +285,27 @@ def test_video_inference_shard_refine_matches(video_ws):
     for a, b in zip(single, comp):
         np.testing.assert_allclose(a.R, b.R, atol=1e-4)
         np.testing.assert_allclose(a.t, b.t, atol=1e-4)
+
+
+def test_video_inference_chain_matches(video_ws):
+    """--chain-refine (the default: autonomous device-cache chain) produces
+    the same track as the serial cached path (--chain-refine 0)."""
+    ws = video_ws
+    common = [
+        "scripts.dino_inference_video", "--video-dir", str(ws / "frames"),
+        "--proposals", str(ws / "props.json"), "--wds-dir", str(ws / "shards"),
+        "--filelist", str(ws / "filelist.txt"), "--mesh-dir", str(ws / "meshes"),
+        "--layer", "2", "--n-coarse", "8", "--n-fine", "64",
+        "--n-neighbors", "16", "--neighborhood", "40",
+    ]
+    _run([*common, "--out", str(ws / "vid-chain.csv")])
+    _run([*common, "--out", str(ws / "vid-serial.csv"), "--chain-refine", "0"])
+    from freepose_tpu.io.bop_csv import read_results_csv
+
+    chain = read_results_csv(ws / "vid-chain.csv", t_scale=1.0)
+    serial = read_results_csv(ws / "vid-serial.csv", t_scale=1.0)
+    assert len(chain) == len(serial) == 5
+    for a, b in zip(serial, chain):
+        assert (a.im_id, str(a.obj_id)) == (b.im_id, str(b.obj_id))
+        np.testing.assert_allclose(b.R, a.R, atol=1e-4)
+        np.testing.assert_allclose(b.t, a.t, atol=1e-4)

@@ -262,3 +262,114 @@ def test_cached_refine_sharded_composes(setup):
         assert int(o_c.view_indices) == int(o_s.view_indices), f"frame {t}"
         np.testing.assert_allclose(np.asarray(o_s.tcos), np.asarray(o_c.tcos), atol=1e-5)
         np.testing.assert_allclose(np.asarray(o_s.scores), np.asarray(o_c.scores), atol=1e-5)
+
+
+def test_chain_matches_serial_closed_loop(setup):
+    """Pipelined chain (device-side selection, speculative hit steps, lagged
+    finalize, miss replay) == the serial closed-loop refine_cached sequence,
+    including LRU evictions mid-chain."""
+    renderer, bank, mk = setup
+    mesh = _mesh()
+    est_a = mk(12)
+    est_b = mk(12)
+    fp = np.asarray(est_a.fine_poses)
+
+    # GT trajectory wandering across three grid regions: hits, misses and
+    # evictions (capacity 12 < 3 regions x 8 neighbors) all occur mid-chain.
+    traj = [5, 6, 7, 60, 61, 5, 120, 121, 6, 7]
+    frames = []
+    for gi in traj:
+        gt = jnp.asarray(fp[gi])
+        rgb, depth = renderer.render_from_poses(mesh, gt[None])
+        props, masks, boxes = renderer.generate_proposals(rgb, depth)
+        frames.append((props[0], masks[0], renderer.k, boxes[0].astype(jnp.float32), 0.25))
+    prev0 = jnp.asarray(fp[5])
+
+    serial = []
+    prev = prev0
+    for f in frames:
+        o = est_a.refine_cached(f[0], f[1], mesh, f[2], f[3], f[4], prev, 40.0, cache_key="ck")
+        tc = np.asarray(o.tcos)[0]
+        serial.append((tc, float(np.asarray(o.scores)[0])))
+        prev = jnp.asarray(tc)
+
+    from freepose_tpu.pipeline.online_pose_estimator import CachedRefineChain
+
+    chain = CachedRefineChain(est_b, mesh, "ck", neighborhood_deg=40.0, lag=2)
+    for i, f in enumerate(frames):
+        chain.submit(*f, prev_pose=prev0 if i == 0 else None)
+    got = chain.finalize_all()
+
+    assert len(got) == len(serial) == len(traj)
+    for (tr, sr), (tg, sg) in zip(serial, got):
+        np.testing.assert_allclose(tg, tr, atol=1e-5)
+        assert abs(sg - sr) < 1e-5
+    # Both the speculative-hit and the replay path were exercised.
+    assert chain.n_spec_hits > 0
+    assert chain.n_replayed > 0
+    # Host and device slot maps agree after the chain.
+    cache = est_b._fine_caches["ck"]
+    table = np.asarray(cache.slot_table)[:-1]
+    assert {gi: s for gi, s in enumerate(table) if s >= 0} == cache.slot_of
+    # LRU state equals the serial run's (same eviction order).
+    cache_a = est_a._fine_caches["ck"]
+    assert cache.slot_of == cache_a.slot_of
+    assert list(cache.lru) == list(cache_a.lru)
+
+
+def test_auto_chain_matches_serial_closed_loop(setup):
+    """Fully-autonomous device-cache chain (fine_cache.cached_refine_auto_step:
+    on-device slot table, LRU eviction, self-served misses) == the serial
+    closed-loop refine_cached sequence, including a trajectory jump that
+    overflows the stream miss bucket (full re-dispatch path)."""
+    renderer, bank, mk = setup
+    mesh = _mesh()
+    est_a = mk(12)
+    est_b = mk(12)
+    fp = np.asarray(est_a.fine_poses)
+
+    traj = [5, 6, 7, 60, 61, 5, 120, 121, 6, 7]
+    frames = []
+    for gi in traj:
+        gt = jnp.asarray(fp[gi])
+        rgb, depth = renderer.render_from_poses(mesh, gt[None])
+        props, masks, boxes = renderer.generate_proposals(rgb, depth)
+        frames.append((props[0], masks[0], renderer.k, boxes[0].astype(jnp.float32), 0.25))
+    prev0 = jnp.asarray(fp[5])
+
+    serial = []
+    prev = prev0
+    for f in frames:
+        o = est_a.refine_cached(f[0], f[1], mesh, f[2], f[3], f[4], prev, 40.0, cache_key="ck")
+        tc = np.asarray(o.tcos)[0]
+        serial.append((tc, float(np.asarray(o.scores)[0])))
+        prev = jnp.asarray(tc)
+
+    from freepose_tpu.pipeline.online_pose_estimator import AutoRefineChain
+
+    chain = AutoRefineChain(
+        est_b, mesh, "ck", neighborhood_deg=40.0, lag=2, miss_bucket=2
+    )
+    for i, f in enumerate(frames):
+        chain.submit(*f, prev_pose=prev0 if i == 0 else None)
+    got = chain.finalize_all()
+
+    assert len(got) == len(serial) == len(traj)
+    for (tr, sr), (tg, sg) in zip(serial, got):
+        np.testing.assert_allclose(tg, tr, atol=1e-5)
+        assert abs(sg - sr) < 1e-5
+    # The jump path (more misses than the stream bucket) was exercised.
+    assert chain.n_full_redispatch > 0
+    # Device cache invariants: occupied slots and the slot table agree.
+    st = chain.state
+    table = np.asarray(st.slot_table)
+    grid_of = np.asarray(st.grid_of)
+    n_fine = len(table) - 1
+    cap = len(grid_of) - 1
+    occupied = [s for s in range(cap) if grid_of[s] < n_fine]
+    assert len(occupied) <= 12
+    for s in occupied:
+        assert table[grid_of[s]] == s
+    for gi in range(n_fine):
+        if table[gi] >= 0:
+            assert grid_of[table[gi]] == gi
