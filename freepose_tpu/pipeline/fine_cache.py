@@ -558,6 +558,9 @@ def cached_refine_auto_step(
     state: DeviceCache,
     fine_poses,  # [NF, 4, 4]
     prev_pose,  # [4, 4] previous frame's refined pose (device-chained)
+    prev2_pose,  # [4, 4] the pose the PREVIOUS step used as prev (for
+    #              constant-angular-velocity prefetch extrapolation; pass
+    #              prev_pose again to disable prediction)
     v, c, f, fv, k_render,  # padded mesh + render intrinsics
     fe_params,
     proposal, proposal_mask, k, bbox, est_scale,
@@ -608,7 +611,16 @@ def cached_refine_auto_step(
             jnp.where(miss_mask, 0, 1) * n_neighbors + jnp.arange(n_neighbors)
         )
         miss_sorted = idx[order]
-        dists = geodesic_all(fine_poses, prev_pose)
+        # Prefetch ordering centres on the constant-angular-velocity
+        # EXTRAPOLATION of the pose track (R_pred = R_rel @ R_prev, the
+        # host planner's formula at online_pose_estimator._cached_state) so
+        # miss-frame padding pre-caches the views the trajectory is about to
+        # enter. Selection above uses the true prev — results are unchanged,
+        # prediction only shifts future hit/miss timing.
+        r_prev = prev_pose[:3, :3]
+        r_pred = (r_prev @ prev2_pose[:3, :3].T) @ r_prev
+        pred_pose = prev_pose.at[:3, :3].set(r_pred)
+        dists = geodesic_all(fine_poses, pred_pose)
         pd = jnp.where(state.slot_table[:n_fine] >= 0, jnp.inf, dists)
         pd = pd.at[idx].set(jnp.inf)
         neg_pf, pf_idx = jax.lax.top_k(-pd, miss_bucket)

@@ -1018,6 +1018,7 @@ class AutoRefineChain:
         self.pending: "deque" = deque()
         self.results: list[tuple[np.ndarray, float]] = []
         self.n_full_redispatch = 0
+        self.miss_counts: list[int] = []  # per finalized frame (diagnostics)
         cfg = est.extractor.config
         res = est.renderer.resolution
         grid = res // cfg.patch_size
@@ -1028,14 +1029,21 @@ class AutoRefineChain:
         key = cache_key if cache_key is not None else id(mesh)
         self._mesh_bufs = est._padded_mesh(key, mesh)
         self._prev_pose_dev = None
+        self._prev2_pose_dev = None  # pose the previous step used as prev
 
     def _step(self, inputs, prev_pose, bucket):
         from freepose_tpu.pipeline.fine_cache import cached_refine_auto_step
 
         est = self.est
         v, c, f, fv = self._mesh_bufs
+        # Constant-angular-velocity prefetch extrapolation chains the last
+        # two prev poses device-side (prev2 = prev on the first step and
+        # after a full re-dispatch — prediction off for that one frame).
+        prev2 = self._prev2_pose_dev
+        if prev2 is None or prev_pose is not self._prev_pose_dev:
+            prev2 = prev_pose
         self.state, packed, pose = cached_refine_auto_step(
-            self.state, est.fine_poses, prev_pose,
+            self.state, est.fine_poses, prev_pose, prev2,
             v, c, f, fv, est.renderer.k, est.extractor.params,
             inputs[0], inputs[1], inputs[2], inputs[3], inputs[4],
             extractor=est.extractor, layer=est.feature_layer,
@@ -1049,6 +1057,7 @@ class AutoRefineChain:
             packed.copy_to_host_async()
         except Exception:
             pass
+        self._prev2_pose_dev = prev_pose
         self._prev_pose_dev = pose
         return packed
 
@@ -1082,6 +1091,7 @@ class AutoRefineChain:
             p = np.asarray(handle)
             if p[17] > 0.5:  # ok
                 self.results.append((p[:16].reshape(4, 4), float(p[16])))
+                self.miss_counts.append(int(p[18]))
                 continue
             # Trajectory jump: re-dispatch this frame with the full bucket
             # from the last good pose, then re-enqueue the frames behind it.

@@ -27,9 +27,10 @@ class PoseEstimate:
     scores: jax.Array  # [k]
     view_indices: jax.Array  # [k]
     query_feat: jax.Array | None = None  # [G², D] normalized
+    all_scores: jax.Array | None = None  # [V] per-view scores (opt-in)
 
 
-@partial(jax.jit, static_argnames=("top_k",))
+@partial(jax.jit, static_argnames=("top_k", "return_all_scores"))
 def score_and_lift(
     feats_template: jax.Array,  # [V, G², D] normalized
     query_feat: jax.Array,  # [G², D] normalized
@@ -42,6 +43,7 @@ def score_and_lift(
     est_scale: jax.Array,  # scalar metric half-extent estimate
     top_k: int = 3,
     rendering_scale: float = RENDERING_SCALE,
+    return_all_scores: bool = False,
 ):
     """Mean patch-cosine score over views + bbox z-lift of the top-k poses."""
     scores = jnp.einsum(
@@ -71,6 +73,8 @@ def score_and_lift(
     tcos = tcos.at[:, 0, 3].set(x)
     tcos = tcos.at[:, 1, 3].set(y)
     tcos = tcos.at[:, 2, 3].set(z)
+    if return_all_scores:
+        return tcos, top_scores, top_idx, scores
     return tcos, top_scores, top_idx
 
 
@@ -99,13 +103,17 @@ class CoarsePoseEstimator:
         est_scale: float,
         top_k: int = 3,
         return_query_feat: bool = False,
+        return_all_scores: bool = False,
     ) -> PoseEstimate:
         qf = self.query_features(proposal)
-        tcos, scores, idx = score_and_lift(
+        out = score_and_lift(
             pack.feats, qf, pack.pc_min, pack.pc_max, pack.pc_mean, pack.poses,
             k, jnp.asarray(bbox, jnp.float32), jnp.asarray(est_scale, jnp.float32), top_k,
+            return_all_scores=return_all_scores,
         )
-        return PoseEstimate(tcos, scores, idx, qf if return_query_feat else None)
+        tcos, scores, idx = out[:3]
+        return PoseEstimate(tcos, scores, idx, qf if return_query_feat else None,
+                            out[3] if return_all_scores else None)
 
     def estimate_batch(
         self,

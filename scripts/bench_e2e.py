@@ -53,6 +53,12 @@ def main() -> None:
     ap.add_argument("--frames", type=int, default=24)
     ap.add_argument("--warmup", type=int, default=6)
     ap.add_argument("--deg-per-frame", type=float, default=2.0)
+    ap.add_argument(
+        "--no-chain", action="store_true",
+        help="serial refine_cached per frame instead of the pipelined "
+        "AutoRefineChain (device-resident cache, back-to-back enqueue)",
+    )
+    ap.add_argument("--auto-bucket", type=int, default=16)
     args = ap.parse_args()
 
     rng = np.random.default_rng(0)
@@ -159,28 +165,70 @@ def main() -> None:
     print(f"platform: {jax.devices()[0].platform}; {hw[0]}x{hw[1]} video, "
           f"{len(faces)}-face mesh, fine grid {n_fine}")
 
-    t_sam, t_ref, t_tot = [], [], []
-    gen = pred.propagate_in_video(vstate, binarize=True)
-    for i, prev in enumerate(traj[:n_total]):
-        f0 = time.perf_counter()
-        t, obj_ids, low, high = next(gen)  # SAM2 mask for this frame (np bool)
-        f1 = time.perf_counter()
-        out = est.refine_cached(
-            proposal, pmask, mesh, k, bbox, 0.15, jnp.asarray(prev), cache_key="e2e"
-        )
-        tco = np.asarray(out.tcos)  # host fetch = the CSV row
-        f2 = time.perf_counter()
-        if i >= args.warmup:
-            t_sam.append(f1 - f0)
-            t_ref.append(f2 - f1)
-            t_tot.append(f2 - f0)
     ms = lambda a: 1e3 * float(np.mean(a))
-    print(f"sam2 propagate: {ms(t_sam):.1f} ms/frame")
-    print(f"fine refine   : {ms(t_ref):.1f} ms/frame")
-    print(
-        f"e2e serial    : {ms(t_tot):.1f} ms/frame = {1e3 / ms(t_tot):.2f} FPS/chip "
-        f"(stage-parallel 2-chip bound: {1e3 / max(ms(t_sam), ms(t_ref)):.2f} FPS)"
-    )
+    gen = pred.propagate_in_video(vstate, binarize=True)
+    if args.no_chain:
+        t_sam, t_ref, t_tot = [], [], []
+        for i, prev in enumerate(traj[:n_total]):
+            f0 = time.perf_counter()
+            t, obj_ids, low, high = next(gen)  # SAM2 mask for this frame (np bool)
+            f1 = time.perf_counter()
+            out = est.refine_cached(
+                proposal, pmask, mesh, k, bbox, 0.15, jnp.asarray(prev), cache_key="e2e"
+            )
+            tco = np.asarray(out.tcos)  # host fetch = the CSV row
+            f2 = time.perf_counter()
+            if i >= args.warmup:
+                t_sam.append(f1 - f0)
+                t_ref.append(f2 - f1)
+                t_tot.append(f2 - f0)
+        print(f"sam2 propagate: {ms(t_sam):.1f} ms/frame")
+        print(f"fine refine   : {ms(t_ref):.1f} ms/frame")
+        print(
+            f"e2e serial    : {ms(t_tot):.1f} ms/frame = {1e3 / ms(t_tot):.2f} FPS/chip "
+            f"(stage-parallel 2-chip bound: {1e3 / max(ms(t_sam), ms(t_ref)):.2f} FPS)"
+        )
+    else:
+        # Pipelined production path (dino_inference_video --chain-refine):
+        # SAM2's software-pipelined propagation interleaves with the
+        # autonomous device-cache refine chain; refine results are fetched
+        # `lag` frames behind, so per-frame stage splits are ill-defined —
+        # time whole-loop wall clock over the steady-state frames.
+        from freepose_tpu.pipeline.online_pose_estimator import AutoRefineChain
+
+        # Query crops pre-render from the true trajectory so the closed loop
+        # follows it (real per-frame miss rate, as in bench_refine's chain).
+        crops = []
+        for p in traj[:n_total]:
+            crgb, cdepth = renderer.render_from_poses(mesh, jnp.asarray(p)[None])
+            cp, cm, cb = renderer.generate_proposals(crgb, cdepth)
+            crops.append((cp[0], cm[0], cb[0].astype(jnp.float32)))
+        jax.block_until_ready(crops[-1][0])
+
+        chain = AutoRefineChain(est, mesh, "e2e-chain", miss_bucket=args.auto_bucket)
+        t_sam = []
+        t0 = None
+        for i, (cp, cm, cb) in enumerate(crops):
+            if i == args.warmup:
+                chain.finalize_all()  # flush the pipeline before timing
+                t0 = time.perf_counter()
+            f0 = time.perf_counter()
+            t, obj_ids, low, high = next(gen)
+            f1 = time.perf_counter()
+            chain.submit(cp, cm, k, cb, 0.15,
+                         prev_pose=jnp.asarray(traj[0]) if i == 0 else None)
+            if i >= args.warmup:
+                t_sam.append(f1 - f0)
+        res = chain.finalize_all()
+        dt = time.perf_counter() - t0
+        assert len(res) == n_total
+        m = 1e3 * dt / args.frames
+        print(f"sam2 propagate: {ms(t_sam):.1f} ms/frame (interleaved)")
+        print(
+            f"e2e chained   : {m:.1f} ms/frame = {1e3 / m:.2f} FPS/chip "
+            f"(AutoRefineChain bucket {args.auto_bucket}, "
+            f"{chain.n_full_redispatch} full re-dispatches)"
+        )
 
 
 if __name__ == "__main__":

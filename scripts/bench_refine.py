@@ -301,12 +301,15 @@ def run_refine_bench(args) -> dict:
     if args.n_objects > 1:
         return run_multi(lambda: mk(max(args.cache, args.n_neighbors)), args.n_objects)
 
-    ms_c, med_c, mpf = run(mk(max(args.cache, args.n_neighbors)), "cached ", use_cache=True)
-    out = {"cached_ms_mean": ms_c, "cached_ms_median": med_c, "misses_per_frame": mpf}
-    if not args.no_uncached:
-        ms_u, med_u, _ = run(mk(0), "uncached", use_cache=False)
-        print(f"speedup: {ms_u / ms_c:.2f}x (median {med_u / med_c:.2f}x)")
-        out.update(uncached_ms_mean=ms_u, uncached_ms_median=med_u)
+    if args.auto_only:
+        out = {}
+    else:
+        ms_c, med_c, mpf = run(mk(max(args.cache, args.n_neighbors)), "cached ", use_cache=True)
+        out = {"cached_ms_mean": ms_c, "cached_ms_median": med_c, "misses_per_frame": mpf}
+        if not args.no_uncached:
+            ms_u, med_u, _ = run(mk(0), "uncached", use_cache=False)
+            print(f"speedup: {ms_u / ms_c:.2f}x (median {med_u / med_c:.2f}x)")
+            out.update(uncached_ms_mean=ms_u, uncached_ms_median=med_u)
 
     if not args.no_chain:
         # Pipelined chain, CLOSED LOOP (prev pose = own refine output — the
@@ -325,37 +328,38 @@ def run_refine_bench(args) -> dict:
         jax.block_until_ready(crops[-1][0])
         prev0 = jnp.asarray(traj[0])
 
-        def chain_run(est, key):
-            chain = CachedRefineChain(
-                est, mesh, key, mask_scores=args.mask_scores, lag=args.chain_lag
-            )
-            t0 = time.perf_counter()
-            for t, (pr, ma, bo) in enumerate(crops):
-                chain.submit(pr, ma, k, bo, 0.15, prev_pose=prev0 if t == 0 else None)
-            res = chain.finalize_all()
-            dt = time.perf_counter() - t0
-            return 1e3 * dt / len(crops), chain, res
-
         est_ch = mk(max(args.cache, args.n_neighbors))
-        chain_run(est_ch, "chain-warm")  # compile classic buckets + chain step
-        del est_ch._fine_caches["chain-warm"]
-        ms_ch, chain, _res = chain_run(est_ch, "chain")
-        print(
-            f"chain   : {ms_ch:.1f} ms/frame = {1e3 / ms_ch:.2f} FPS/chip "
-            f"(closed loop, lag {args.chain_lag}; {chain.n_spec_hits} spec hits, "
-            f"{chain.n_replayed} replays over {len(crops)} frames)"
-        )
-        out.update(chain_ms_mean=ms_ch, chain_spec_hits=chain.n_spec_hits,
-                   chain_replays=chain.n_replayed)
+        if not args.auto_only:
+            def chain_run(est, key):
+                chain = CachedRefineChain(
+                    est, mesh, key, mask_scores=args.mask_scores, lag=args.chain_lag
+                )
+                t0 = time.perf_counter()
+                for t, (pr, ma, bo) in enumerate(crops):
+                    chain.submit(pr, ma, k, bo, 0.15, prev_pose=prev0 if t == 0 else None)
+                res = chain.finalize_all()
+                dt = time.perf_counter() - t0
+                return 1e3 * dt / len(crops), chain, res
+
+            chain_run(est_ch, "chain-warm")  # compile classic buckets + chain step
+            del est_ch._fine_caches["chain-warm"]
+            ms_ch, chain, _res = chain_run(est_ch, "chain")
+            print(
+                f"chain   : {ms_ch:.1f} ms/frame = {1e3 / ms_ch:.2f} FPS/chip "
+                f"(closed loop, lag {args.chain_lag}; {chain.n_spec_hits} spec hits, "
+                f"{chain.n_replayed} replays over {len(crops)} frames)"
+            )
+            out.update(chain_ms_mean=ms_ch, chain_spec_hits=chain.n_spec_hits,
+                       chain_replays=chain.n_replayed)
 
         # Fully-autonomous device-cache chain: slot table + LRU + self-served
         # misses on device, zero host bookkeeping (fine_cache.DeviceCache).
         from freepose_tpu.pipeline.online_pose_estimator import AutoRefineChain
 
-        def auto_run():
+        def auto_run(lag):
             ch = AutoRefineChain(
                 est_ch, mesh, "auto", mask_scores=args.mask_scores,
-                lag=args.chain_lag, miss_bucket=args.auto_bucket,
+                lag=lag, miss_bucket=args.auto_bucket,
             )
             t0 = time.perf_counter()
             for t, (pr, ma, bo) in enumerate(crops):
@@ -363,14 +367,22 @@ def run_refine_bench(args) -> dict:
             ch.finalize_all()
             return 1e3 * (time.perf_counter() - t0) / len(crops), ch
 
-        auto_run()  # compile both auto-step variants
-        ms_au, auto = auto_run()
-        print(
-            f"auto    : {ms_au:.1f} ms/frame = {1e3 / ms_au:.2f} FPS/chip "
-            f"(device-side cache, bucket {args.auto_bucket}, lag "
-            f"{args.chain_lag}; {auto.n_full_redispatch} full re-dispatches)"
-        )
-        out.update(auto_ms_mean=ms_au, auto_redispatches=auto.n_full_redispatch)
+        lags = ([int(s) for s in args.auto_lag_sweep.split(",")]
+                if args.auto_lag_sweep else [args.chain_lag])
+        auto_run(lags[0])  # compile both auto-step variants
+        for lag in lags:
+            ms_au, auto = auto_run(lag)
+            mc = np.asarray(auto.miss_counts)
+            print(
+                f"auto    : {ms_au:.1f} ms/frame = {1e3 / ms_au:.2f} FPS/chip "
+                f"(device-side cache, bucket {args.auto_bucket}, lag "
+                f"{lag}; {auto.n_full_redispatch} full re-dispatches, "
+                f"{int((mc > 0).sum())}/{len(mc)} miss frames, "
+                f"mean {mc.mean():.1f} misses/frame)"
+            )
+            out.update(auto_ms_mean=ms_au, auto_redispatches=auto.n_full_redispatch,
+                       auto_miss_frames=int((mc > 0).sum()),
+                       auto_misses_per_frame=float(mc.mean()))
     return out
 
 
@@ -397,6 +409,10 @@ def _parser() -> argparse.ArgumentParser:
                     help="skip the pipelined closed-loop chain measurement")
     ap.add_argument("--chain-lag", type=int, default=3,
                     help="frames the chain's host finalize trails the dispatch")
+    ap.add_argument("--auto-only", action="store_true",
+                    help="measure only the autonomous device-cache chain")
+    ap.add_argument("--auto-lag-sweep", default=None,
+                    help="comma list of lags to sweep for the auto chain")
     ap.add_argument("--auto-bucket", type=int, default=16,
                     help="stream miss bucket of the autonomous device-cache chain "
                          "(swept on v5e at 2°/frame: 8→90.4, 16→82.0 ms/frame)")

@@ -128,6 +128,7 @@ def main() -> None:
     )
     chains: dict[str, object] = {}  # mesh_id -> AutoRefineChain
     chain_meta: dict[str, list] = {}
+    all_scores: dict[str, list] = {}  # --no-rescore: mesh_id -> [V] per frame
     import jax
 
     for f in range(len(frames)):
@@ -179,10 +180,17 @@ def main() -> None:
             scale = float(p.get("scale", 0.1))
             if args.no_rescore or mesh_id not in prev_pose:
                 out = estimator.coarse.estimate(
-                    frame_props.proposals[i], pack, k, bbox, scale, return_query_feat=False
+                    frame_props.proposals[i], pack, k, bbox, scale,
+                    return_query_feat=False, return_all_scores=args.no_rescore,
                 )
                 tco = np.asarray(out.tcos[0])
-                if not args.no_rescore:
+                if args.no_rescore:
+                    # Reference dino_inference_video.py:158-159,177-180 keeps
+                    # every view's coarse score for offline analysis.
+                    all_scores.setdefault(mesh_id, []).append(
+                        np.asarray(out.all_scores)
+                    )
+                else:
                     prev_pose[mesh_id] = out.tcos[0]
                 results.append(PoseResult(
                     scene_id=0, im_id=f, obj_id=mesh_id, score=float(out.scores[0]),
@@ -263,6 +271,14 @@ def main() -> None:
     results.sort(key=lambda r: (r.im_id, str(r.obj_id)))
     Path(args.out).parent.mkdir(parents=True, exist_ok=True)
     write_results_csv(results, args.out, t_scale=1.0)  # video: metres
+    if args.no_rescore and all_scores:
+        # Reference :177-180 — stacked per-object per-frame view scores plus
+        # the coarse pose grid, for offline score-landscape analysis.
+        out_dir = Path(args.out).parent
+        np.save(out_dir / "all_scores.npy",
+                np.stack([np.stack(v) for v in all_scores.values()]))
+        np.save(out_dir / "all_poses.npy", np.asarray(estimator.coarse.mesh_poses))
+        print(f"all_scores.npy + all_poses.npy -> {out_dir}")
     print(f"{len(results)} poses -> {args.out}")
 
 

@@ -159,6 +159,31 @@ def test_video_pipeline_end_to_end(video_ws):
     assert np.isfinite(rot.values).all()
 
 
+def test_video_inference_no_rescore_dumps_scores(video_ws):
+    """--no-rescore runs the coarse estimator every frame and dumps the full
+    per-view score landscape (reference dino_inference_video.py:158-180:
+    all_scores.npy [n_obj, n_frames, V] + all_poses.npy [V, 4, 4])."""
+    ws = video_ws
+    out = ws / "nore" / "vid.csv"
+    _run([
+        "scripts.dino_inference_video", "--video-dir", str(ws / "frames"),
+        "--proposals", str(ws / "props.json"), "--wds-dir", str(ws / "shards"),
+        "--filelist", str(ws / "filelist.txt"), "--mesh-dir", str(ws / "meshes"),
+        "--out", str(out), "--layer", "2",
+        "--n-coarse", "8", "--n-fine", "64", "--n-neighbors", "16",
+        "--no-rescore",
+    ])
+    scores = np.load(out.parent / "all_scores.npy")
+    poses = np.load(out.parent / "all_poses.npy")
+    assert scores.shape == (1, 5, 8)
+    assert np.isfinite(scores).all() and np.abs(scores).max() <= 1.0 + 1e-5
+    assert poses.shape == (8, 4, 4)
+    from freepose_tpu.io.bop_csv import read_results_csv
+
+    track = read_results_csv(out, t_scale=1.0)
+    assert len(track) == 5
+
+
 def test_video_proposals_cli_runs(video_ws):
     """extract_proposals_ground_video end-to-end: frame-0 boxes -> SAM2
     propagation -> FFA retrieval -> soft voting -> proposal JSON. With
