@@ -364,8 +364,17 @@ def flash_attention_auto(q, k, v, scale: float, kv_mask=None) -> jax.Array:
 
 def flash_attention_fn(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
     """Drop-in `attention_fn` for freepose_tpu.models.vit.MultiHeadAttention:
-    Pallas flash attention on TPU, dense XLA fallback elsewhere."""
-    if jax.devices()[0].platform in ("tpu", "axon"):
+    Pallas flash attention on TPU, dense XLA fallback elsewhere.
+
+    Batch-1 calls take the dense path even on TPU: at ViT-L@420 shapes
+    (1×16×905×64 bf16) dense measures 9.7 ms/img vs flash 12.5 on one v5e —
+    the kernel pads d 64→128 (2× structural-zero matmul work) and its
+    per-step overhead isn't amortized at so few grid steps, while the dense
+    [905, 905] score tensor is small enough that avoided HBM traffic no
+    longer pays. Flash wins from b≥4 (7.9 vs 14.2 ms/img — measured by
+    scripts/bench_features.py); the single-query featurize of the fine-refine
+    hit path is exactly the b=1 case."""
+    if q.shape[0] > 1 and jax.devices()[0].platform in ("tpu", "axon"):
         return flash_attention(q, k, v, scale)
     from freepose_tpu.models.vit import dot_product_attention
 

@@ -39,6 +39,107 @@ class RasterSettings:
     # "auto": Pallas VMEM-tile kernel on TPU (3.2x the XLA path, bit-exact),
     # XLA elsewhere. "xla" / "pallas" force a backend.
     backend: str = "auto"
+    # Tile-binning algorithm (selection is bit-identical between the two):
+    # "sort" replaces the per-tile [T, F] top-k (the dominant prologue cost —
+    # measured 3.6 of 7.9 ms/render at 16k faces on one v5e) with one global
+    # sort of (tile, face) overlap-pair keys; "topk" is the dense original.
+    binning: str = "sort"
+
+
+def select_tile_faces(
+    bb_min: jax.Array,  # [F, 2] face screen-bbox min (u, v)
+    bb_max: jax.Array,  # [F, 2]
+    valid: jax.Array,  # [F] bool
+    grid: int,
+    tile: int,
+    m: int,
+    binning: str = "sort",
+) -> tuple[jax.Array, jax.Array]:
+    """Per-tile candidate faces: the `m` LOWEST-INDEX valid faces whose screen
+    bbox overlaps each tile rectangle [tx, tx+tile]×[ty, ty+tile] (boundary
+    inclusive). Returns (top_idx [T, m] int32, sel_valid [T, m] bool) with
+    candidates packed ascending by face index — the selection policy both
+    rasterizer backends share (deterministic z-tie-break = lowest index).
+
+    binning="topk" scores every (tile, face) pair and top-k's over F lanes —
+    O(T·F) sort work dominates the render prologue for large F. "sort"
+    produces the IDENTICAL selection from one global sort: each small face
+    (screen bbox spanning ≤4 tile rows/cols — everything after mesh
+    subdivision) contributes its ≤16 overlapped-tile keys tile_id·F+f, so a
+    tile's candidates are a contiguous ascending run; faces spanning more
+    tiles (≤512 of them) keep the dense test and merge in a final [T, 16+
+    512+...]-lane top-k. The two paths can only diverge if >512 valid faces
+    each span >4×4 tiles (then "sort" may drop some where "topk" keeps them
+    — unreachable for subdivided meshes; the shared tests pin equality)."""
+    n_tiles = grid * grid
+    f_total = valid.shape[0]
+    m = min(m, f_total)
+    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    tx = (tile_ids % grid) * tile
+    ty = (tile_ids // grid) * tile
+    f_idx = jnp.arange(f_total, dtype=jnp.float32)
+
+    if binning == "topk" or n_tiles * f_total >= 2**31:
+        ox = (bb_min[None, :, 0] <= tx[:, None] + tile) & (bb_max[None, :, 0] >= tx[:, None])
+        oy = (bb_min[None, :, 1] <= ty[:, None] + tile) & (bb_max[None, :, 1] >= ty[:, None])
+        overlap = ox & oy & valid[None, :]  # [T, F]
+        sel_scores = jnp.where(overlap, -f_idx, -jnp.inf)
+        top_vals, top_idx = jax.lax.top_k(sel_scores, m)
+        return top_idx, jnp.isfinite(top_vals)
+
+    span = 4  # small faces: bbox within a span×span tile window
+    big_cap = min(512, f_total)
+    # Safe integer bounds on the overlapped tile range. f32 division is
+    # correctly rounded and i·tile is exactly representable, so
+    # floor(bb_max/tile) can never undercount the true max overlapped tile
+    # and floor(bb_min/tile)−1 always lower-bounds the min; the exact
+    # per-entry overlap test below discards any overcount.
+    i0 = jnp.floor(bb_min / tile).astype(jnp.int32) - 1  # [F, 2]
+    i1 = jnp.floor(bb_max / tile).astype(jnp.int32)
+    small = valid & jnp.all(i1 <= i0 + (span - 1), axis=-1)
+
+    dx = jnp.arange(span, dtype=jnp.int32)
+    ti = i0[:, 0:1] + dx[None, :]  # [F, span] candidate tile cols
+    tj = i0[:, 1:2] + dx[None, :]  # [F, span] candidate tile rows
+    fx = tile * 1.0
+    ox = (
+        (bb_min[:, 0:1] <= (ti + 1) * fx) & (bb_max[:, 0:1] >= ti * fx)
+        & (ti >= 0) & (ti < grid)
+    )  # [F, span]
+    oy = (
+        (bb_min[:, 1:2] <= (tj + 1) * fx) & (bb_max[:, 1:2] >= tj * fx)
+        & (tj >= 0) & (tj < grid)
+    )
+    ent_ok = small[:, None, None] & ox[:, :, None] & oy[:, None, :]  # [F, sx, sy]
+    ent_tile = tj[:, None, :] * grid + ti[:, :, None]
+    key = jnp.where(
+        ent_ok,
+        ent_tile * f_total + jnp.arange(f_total, dtype=jnp.int32)[:, None, None],
+        jnp.iinfo(jnp.int32).max,
+    ).reshape(-1)
+    if key.shape[0] < m:
+        key = jnp.pad(key, (0, m - key.shape[0]), constant_values=jnp.iinfo(jnp.int32).max)
+    keys = jnp.sort(key)
+    starts = jnp.searchsorted(keys, tile_ids * f_total).astype(jnp.int32)
+    win = jax.vmap(lambda s: jax.lax.dynamic_slice(keys, (s,), (m,)))(starts)  # [T, m]
+    win_ok = (win // f_total) == tile_ids[:, None]
+    small_cand = jnp.where(win_ok, (win % f_total).astype(jnp.float32), jnp.inf)
+
+    big_vals, big_idx = jax.lax.top_k(jnp.where(valid & ~small, -f_idx, -jnp.inf), big_cap)
+    big_ok = jnp.isfinite(big_vals)  # [L]
+    b0 = bb_min[big_idx]  # [L, 2]
+    b1 = bb_max[big_idx]
+    bx = (b0[None, :, 0] <= tx[:, None] + tile) & (b1[None, :, 0] >= tx[:, None])
+    by = (b0[None, :, 1] <= ty[:, None] + tile) & (b1[None, :, 1] >= ty[:, None])
+    big_cand = jnp.where(
+        bx & by & big_ok[None, :], big_idx.astype(jnp.float32)[None, :], jnp.inf
+    )  # [T, L]
+
+    cand = jnp.concatenate([small_cand, big_cand], axis=1)  # [T, m + L]
+    top_vals, _ = jax.lax.top_k(-cand, m)
+    sel_valid = jnp.isfinite(top_vals)
+    top_idx = jnp.where(sel_valid, (-top_vals), 0.0).astype(jnp.int32)
+    return top_idx, sel_valid
 
 
 def _project_vertices(vertices: jax.Array, pose: jax.Array, k: jax.Array):
@@ -91,16 +192,10 @@ def rasterize(
         tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
         tx = (tile_ids % grid) * tile
         ty = (tile_ids // grid) * tile
-        # Overlap test between face bbox and each tile rectangle.
-        ox = (bb_min[None, :, 0] <= tx[:, None] + tile) & (bb_max[None, :, 0] >= tx[:, None])
-        oy = (bb_min[None, :, 1] <= ty[:, None] + tile) & (bb_max[None, :, 1] >= ty[:, None])
-        overlap = ox & oy & valid[None, :]  # [T, F]
-
         # First-M overlapping face indices per tile (deterministic).
-        f_idx = jnp.arange(faces.shape[0], dtype=jnp.float32)
-        sel_scores = jnp.where(overlap, -f_idx, -jnp.inf)
-        top_vals, top_idx = jax.lax.top_k(sel_scores, m)  # [T, M]
-        sel_valid = jnp.isfinite(top_vals)  # [T, M]
+        top_idx, sel_valid = select_tile_faces(
+            bb_min, bb_max, valid, grid, tile, m, settings.binning
+        )
 
         tri_uv_t = tri_uv[top_idx]  # [T, M, 3, 2]
         tri_z_t = tri_z[top_idx]  # [T, M, 3]

@@ -107,7 +107,7 @@ def _raster_tile_kernel(attr_ref, org_ref, out_ref, *, tile: int, ambient: float
 def _bin_and_pack(vertices, colors, faces, face_valid, pose, k, settings, m):
     """XLA prologue: project + tile-bin (identical policy to the baseline
     rasterizer) -> ([T, N_ATTRS, M] attribute matrix, [T, 2] tile origins)."""
-    from freepose_tpu.ops.rasterizer import _project_vertices
+    from freepose_tpu.ops.rasterizer import _project_vertices, select_tile_faces
 
     res = settings.resolution
     tile = settings.tile
@@ -125,15 +125,10 @@ def _bin_and_pack(vertices, colors, faces, face_valid, pose, k, settings, m):
     tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
     tx = (tile_ids % grid) * tile
     ty = (tile_ids // grid) * tile
-    ox = (bb_min[None, :, 0] <= tx[:, None] + tile) & (bb_max[None, :, 0] >= tx[:, None])
-    oy = (bb_min[None, :, 1] <= ty[:, None] + tile) & (bb_max[None, :, 1] >= ty[:, None])
-    overlap = ox & oy & valid[None, :]
-
-    f_idx = jnp.arange(faces.shape[0], dtype=jnp.float32)
-    sel_scores = jnp.where(overlap, -f_idx, -jnp.inf)
     m_sel = min(m, faces.shape[0])  # lane padding to m happens at pack time
-    top_vals, top_idx = jax.lax.top_k(sel_scores, m_sel)
-    sel_valid = jnp.isfinite(top_vals)  # [T, M_sel]
+    top_idx, sel_valid = select_tile_faces(
+        bb_min, bb_max, valid, grid, tile, m_sel, settings.binning
+    )
 
     a = tri_uv[top_idx][:, :, 0, :]  # [T, M, 2]
     b = tri_uv[top_idx][:, :, 1, :]

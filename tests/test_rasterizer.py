@@ -210,3 +210,54 @@ def test_backend_switch_via_settings():
     finally:
         rp.rasterize_pallas = orig
     assert called.get("yes") and depth.shape == (1, 64, 64)
+
+
+def test_sort_binning_matches_topk_selection():
+    """select_tile_faces(binning='sort') returns the IDENTICAL candidate set
+    and packing as the dense per-tile top-k, including: bboxes exactly on
+    tile boundaries (the overlap test is boundary-inclusive on both ends),
+    faces spanning more than the 4×4 small-face window (routed through the
+    exact big-face merge), invalid faces, and tiles with more than m
+    candidates (both cap at the m lowest indices)."""
+    from freepose_tpu.ops.rasterizer import select_tile_faces
+
+    rng = np.random.default_rng(1)
+    grid, tile, m = 5, 16, 64
+    res = grid * tile
+    nf = 400
+    lo = rng.uniform(-10, res + 10, size=(nf, 2)).astype(np.float32)
+    ext = rng.gamma(1.0, 6.0, size=(nf, 2)).astype(np.float32)
+    # A handful of giant faces (span > 4 tiles both axes) and some huge-x only.
+    ext[:10] = res * 0.9
+    ext[10:16, 0] = res * 0.9
+    hi = lo + ext
+    # Snap some bboxes exactly onto tile boundaries (both ends inclusive).
+    lo[20:40] = np.round(lo[20:40] / tile) * tile
+    hi[40:60] = np.round(hi[40:60] / tile) * tile
+    valid = rng.random(nf) > 0.1
+
+    args = (jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(valid), grid, tile, m)
+    idx_s, ok_s = select_tile_faces(*args, "sort")
+    idx_t, ok_t = select_tile_faces(*args, "topk")
+    np.testing.assert_array_equal(np.asarray(ok_s), np.asarray(ok_t))
+    np.testing.assert_array_equal(
+        np.asarray(jnp.where(ok_s, idx_s, -1)), np.asarray(jnp.where(ok_t, idx_t, -1))
+    )
+    assert np.asarray(ok_s).any() and not np.asarray(ok_s).all()
+
+
+def test_sort_binning_matches_topk_render():
+    """Full renders are pixel-identical between the two binning algorithms
+    (cube + crowded-tile config so the m cap binds)."""
+    poses = jnp.asarray(template_poses(2, z=2.0))
+    m = _cube()
+    v, c, f, valid = map(jnp.asarray, pad_mesh(m, 16, 24))
+    for mcap in (4, 64):  # 4: the per-tile cap binds; 64: it does not
+        s_sort = RasterSettings(resolution=128, tile=32, max_faces_per_tile=mcap,
+                                binning="sort", backend="xla")
+        s_topk = RasterSettings(resolution=128, tile=32, max_faces_per_tile=mcap,
+                                binning="topk", backend="xla")
+        rgb_s, d_s = rasterize(v, c, f, valid, poses, K, s_sort)
+        rgb_t, d_t = rasterize(v, c, f, valid, poses, K, s_topk)
+        np.testing.assert_array_equal(np.asarray(d_s), np.asarray(d_t))
+        np.testing.assert_array_equal(np.asarray(rgb_s), np.asarray(rgb_t))
