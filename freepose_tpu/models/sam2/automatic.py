@@ -33,7 +33,12 @@ from freepose_tpu.models.sam2.amg import (
     is_box_near_crop_edge,
 )
 from freepose_tpu.models.sam2.model import Sam2ImageModel
-from freepose_tpu.models.sam2.predictor import Sam2ImagePredictor, scale_coords
+from freepose_tpu.models.sam2.predictor import (
+    Sam2ImagePredictor,
+    _packbits_last,
+    _unpackbits_last,
+    scale_coords,
+)
 from freepose_tpu.ops.sampling import resize_bilinear
 
 
@@ -111,7 +116,9 @@ class Sam2AutomaticMaskGenerator:
             )
             masks = logits > self.mask_threshold
             boxes = batched_mask_to_box(masks)
-            return masks, low[0], iou[0], stab, boxes
+            # Masks leave the device bit-packed (8 px/byte); the caller
+            # unpacks on host — 8x less transfer on remote-attached TPUs.
+            return _packbits_last(masks), low[0], iou[0], stab, boxes
 
         @partial(jax.jit, static_argnames=("out_hw",))
         def _m2m(params, pyramid, points_px, low_res, out_hw):
@@ -129,7 +136,7 @@ class Sam2AutomaticMaskGenerator:
                 logits, self.mask_threshold, self.stability_score_offset
             )
             masks = logits > self.mask_threshold
-            return masks, iou[0, :, 0], stab, batched_mask_to_box(masks)
+            return _packbits_last(masks), iou[0, :, 0], stab, batched_mask_to_box(masks)
 
         self._params = params
         self._batch_fn = _batch
@@ -237,9 +244,9 @@ class Sam2AutomaticMaskGenerator:
                 low.reshape(p * m, *low.shape[2:]), tuple(crop_hw),
             )
             iou, stab, boxes = np.asarray(iou), np.asarray(stab), np.asarray(boxes)
-            masks_np = np.asarray(masks)
+            masks_np = _unpackbits_last(np.asarray(masks), crop_hw[1])
         else:
-            masks_np = flat(masks)
+            masks_np = _unpackbits_last(flat(masks), crop_hw[1])
 
         keep = np.ones(p * m, bool)
         if self.pred_iou_thresh > 0.0:

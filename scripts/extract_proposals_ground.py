@@ -55,7 +55,9 @@ def detect(args, entry):
         predictor.set_image(jnp.asarray(entry["image"]))
         # All boxes decode as ONE batched prompt set (prompts are independent
         # in the mask decoder; batched == per-box verified in tests).
-        m, _, _ = predictor.predict(box=np.asarray(boxes), multimask_output=False)
+        m, _, _ = predictor.predict(
+            box=np.asarray(boxes), multimask_output=False, return_logits=False
+        )
         return m[:, 0], np.asarray(boxes), np.asarray(det_scores)
     raise ValueError(args.detector)
 

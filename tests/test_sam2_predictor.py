@@ -204,6 +204,32 @@ def test_video_binarize_matches_logits_threshold(video_predictor):
             np.testing.assert_array_equal(high_f > 0, high_b)
 
 
+def test_packbits_roundtrip_and_odd_width(video_predictor):
+    """Binarized masks travel bit-packed (8 px/byte) and must unpack to the
+    exact bools, including widths not divisible by 8 (pad path)."""
+    from freepose_tpu.models.sam2.predictor import _packbits_last, _unpackbits_last
+
+    rng = np.random.default_rng(7)
+    for shape in [(2, 5, 16), (1, 4, 83), (3, 7)]:
+        m = rng.random(shape) > 0.5
+        packed = np.asarray(_packbits_last(jnp.asarray(m)))
+        assert packed.dtype == np.uint8 and packed.shape[-1] == -(-shape[-1] // 8)
+        np.testing.assert_array_equal(_unpackbits_last(packed, shape[-1]), m)
+
+    # End-to-end through propagation at an odd frame width.
+    frames = (rng.random((2, 40, 83, 3)) * 255).astype(np.uint8)
+    state = video_predictor.init_state(frames)
+    state = video_predictor.add_new_points_or_box(state, 0, obj_id=0, box=np.array([5, 5, 30, 30]))
+    ref = list(video_predictor.propagate_in_video(state))
+    state = video_predictor.init_state(frames)
+    state = video_predictor.add_new_points_or_box(state, 0, obj_id=0, box=np.array([5, 5, 30, 30]))
+    binz = list(video_predictor.propagate_in_video(state, binarize=True))
+    for (t1, _, low_f, high_f), (t2, _, low_b, high_b) in zip(ref, binz):
+        assert t1 == t2 and high_b.shape == high_f.shape
+        np.testing.assert_array_equal(low_f > 0, low_b)
+        np.testing.assert_array_equal(high_f > 0, high_b)
+
+
 def test_image_predictor_batched_boxes_match_sequential(image_predictor):
     """N boxes in one predict() call must equal N per-box calls (the
     proposal CLI decodes all detections as one batched prompt set)."""
