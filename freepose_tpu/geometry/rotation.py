@@ -14,8 +14,10 @@ import jax
 import jax.numpy as jnp
 
 # Magic constants of super-Fibonacci spirals (Alexa, CVPR 2022), as used by the
-# reference pose sampler (pose_estimator.py:123-124).
-_PHI = jnp.sqrt(2.0)
+# reference pose sampler (pose_estimator.py:123-124). Plain Python floats so
+# importing this module never touches a JAX backend (the driver's multichip
+# dryrun imports the package before selecting the CPU platform).
+_PHI = 2.0 ** 0.5
 _PSI = 1.533751168755204288118041
 
 

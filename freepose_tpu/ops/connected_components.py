@@ -22,7 +22,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-_BIG = jnp.int32(2**30)
+# Python int (weakly typed in jnp ops -> int32), NOT jnp.int32(...): a
+# module-level jnp call would initialise the default backend at import time,
+# breaking CPU-platform selection in the multichip dryrun.
+_BIG = 2**30
 
 
 @jax.jit
