@@ -58,6 +58,8 @@ class BOPDataset:
             cam = json.loads((scene_path / "scene_camera.json").read_text())
             gt_path = scene_path / "scene_gt.json"
             gt = json.loads(gt_path.read_text()) if gt_path.exists() else {}
+            info_path = scene_path / "scene_gt_info.json"
+            gt_info = json.loads(info_path.read_text()) if info_path.exists() else {}
             rgb_paths = sorted((scene_path / "rgb").glob("*.*")) if (scene_path / "rgb").exists() else []
             for rgb_path in rgb_paths:
                 fid = int(rgb_path.stem)
@@ -70,6 +72,10 @@ class BOPDataset:
                     "intrinsic": cam[str(fid)]["cam_K"],
                     "obj_ids": [int(e["obj_id"]) for e in gt.get(str(fid), [])],
                     "gt": gt.get(str(fid), []),
+                    # Per-GT visibility info (scene_gt_info.json) — used by
+                    # the eval protocol's "inst_count most visible" validity
+                    # rule (reference eval_calc_scores.py:238-253).
+                    "gt_info": gt_info.get(str(fid), []),
                     "mask_visib": sorted(
                         str(p) for p in scene_path.glob(f"mask_visib/{fid:06d}_*.*")
                     ),
@@ -117,4 +123,5 @@ class BOPDataset:
             "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
             "intrinsic": np.asarray(meta["intrinsic"], np.float64).reshape(3, 3),
             "gt": meta["gt"],
+            "gt_info": meta.get("gt_info", []),
         }

@@ -101,11 +101,20 @@ class WebTemplateDataset:
                 depths.append(np.asarray(Image.open(io.BytesIO(raw.read(size)))))
         rgb = np.stack(rgbs).astype(np.float32) / 255.0
         depth = np.stack(depths).astype(np.float32) / 1000.0
+        masks = depth > 0
+        # Degenerate-mask fallback (reference src/dataloader/template.py:75-77):
+        # a view whose mask has <100 pixels gets a central half-size square
+        # (105:315 at the 420² template resolution) so downstream crops and
+        # mask-pooled features stay well-defined.
+        bad = masks.sum(axis=(1, 2)) < 100
+        if bad.any():
+            h, w = masks.shape[1:]
+            masks[bad, h // 4 : 3 * h // 4, w // 4 : 3 * w // 4] = True
         return {
             "model_name": name,
             "rgb": rgb,
             "depth": depth,
-            "masks": depth > 0,
+            "masks": masks,
             "intrinsic": np.array([[600.0, 0, 210], [0, 600, 210], [0, 0, 1]], np.float32),
         }
 

@@ -213,13 +213,17 @@ class MaskRenderer:
         v, c, f, valid = pad_mesh(mesh, self.max_vertices, self.max_faces)
         self._meshes[obj_id] = tuple(jnp.asarray(x) for x in (v, c, f, valid))
 
-    def render_depth(self, obj_id, r, t, k) -> np.ndarray:
+    def render_depth(self, obj_id, r, t, k, scale: float = 1.0) -> np.ndarray:
+        """scale uniformly scales the object before posing (R(s·v)+t =
+        (sR)v+t, folded into the pose's linear part) — the reference
+        renderer's per-estimate mesh scaling (eval_calc_errors.py:384-385)
+        without re-uploading vertices."""
         if self.backend == "native":
             from freepose_tpu.ops import raster_native
 
             v, f = self._meshes[obj_id]
             pose = np.eye(4, dtype=np.float32)
-            pose[:3, :3] = np.asarray(r, np.float32)
+            pose[:3, :3] = np.asarray(r, np.float32) * scale
             pose[:3, 3] = np.asarray(t, np.float32).reshape(3)
             _, depth = raster_native.rasterize_native(
                 v, f, pose[None], np.asarray(k, np.float32),
@@ -227,7 +231,7 @@ class MaskRenderer:
             )
             return depth[0]
         v, c, f, valid = self._meshes[obj_id]
-        pose = jnp.eye(4).at[:3, :3].set(jnp.asarray(r)).at[:3, 3].set(jnp.asarray(t).reshape(3))
+        pose = jnp.eye(4).at[:3, :3].set(jnp.asarray(r) * scale).at[:3, 3].set(jnp.asarray(t).reshape(3))
         _, depth = rasterize(v, c, f, valid, pose[None], jnp.asarray(k, jnp.float32), self.settings)
         return np.asarray(depth[0, : self.height, : self.width])
 
@@ -287,12 +291,12 @@ def _vsd_jit(depth_test, depth_gt, depth_est, k, delta, diameter, taus,
 def vsd(
     r_est, t_est, r_gt, t_gt, depth_test, k, delta, taus,
     normalized_by_diameter, diameter, renderer: "MaskRenderer", inf_id, gt_id,
-    cost_type: str = "step",
+    cost_type: str = "step", est_scale: float = 1.0,
 ) -> list[float]:
     """Visible Surface Discrepancy (reference pose_error.py:17-113): renders
     est/GT depth with the TPU rasterizer, estimates bop19 visibility masks
     against the test depth, and scores per misalignment tolerance tau."""
-    depth_est = renderer.render_depth(inf_id, r_est, t_est, k)
+    depth_est = renderer.render_depth(inf_id, r_est, t_est, k, scale=est_scale)
     depth_gt = renderer.render_depth(gt_id, r_gt, t_gt, k)
     errs = _vsd_jit(
         jnp.asarray(depth_test, jnp.float32), jnp.asarray(depth_gt, jnp.float32),
@@ -303,10 +307,11 @@ def vsd(
     return [float(e) for e in errs]
 
 
-def cus(r_est, t_est, r_gt, t_gt, k, renderer: MaskRenderer, inf_id, gt_id) -> float:
+def cus(r_est, t_est, r_gt, t_gt, k, renderer: MaskRenderer, inf_id, gt_id,
+        est_scale: float = 1.0) -> float:
     """Complement over union of rendered silhouettes (reference
     pose_error.py:357-387)."""
-    mask_est = renderer.render_depth(inf_id, r_est, t_est, k) > 0
+    mask_est = renderer.render_depth(inf_id, r_est, t_est, k, scale=est_scale) > 0
     mask_gt = renderer.render_depth(gt_id, r_gt, t_gt, k) > 0
     union = np.logical_or(mask_est, mask_gt).sum()
     if union == 0:

@@ -80,6 +80,18 @@ def _unpackbits_last(packed: np.ndarray, width: int) -> np.ndarray:
     return np.unpackbits(packed, axis=-1)[..., :width].astype(bool)
 
 
+@partial(jax.jit, static_argnames=("orig_hw",))
+def _upsample_logits(logits: jax.Array, orig_hw: tuple[int, int]) -> jax.Array:
+    return resize_bilinear(logits, orig_hw)
+
+
+@partial(jax.jit, static_argnames=("orig_hw",))
+def _threshold_and_pack(logits: jax.Array, orig_hw: tuple[int, int]) -> jax.Array:
+    """Upsample -> threshold -> bit-pack in ONE program (a single dispatch
+    instead of an eager pad/reshape/mul/reduce chain per predict call)."""
+    return _packbits_last(resize_bilinear(logits, orig_hw) > 0)
+
+
 @partial(jax.jit, static_argnames=("orig_hw", "non_overlap", "binarize", "packbits"))
 def postprocess_video_masks(
     low: jax.Array,  # [N, g4, g4] logits
@@ -141,12 +153,20 @@ class Sam2ImagePredictor:
         point_labels: np.ndarray | None = None,
         box: np.ndarray | None = None,
         multimask_output: bool = True,
-        return_logits: bool = True,
+        return_logits: bool = False,
+        fetch_low_res_logits: bool = True,
     ):
-        """Returns (masks [P, M, H, W] bool at original res, iou [P, M],
-        low_res_logits [P, M, g, g]). return_logits=False skips the low-res
-        logits' device->host fetch (P x M x 256 KB fp32) and returns None in
-        their place — the proposal CLIs only consume the binary masks."""
+        """Returns (masks [P, M, H, W] at original res, iou [P, M],
+        low_res_logits [P, M, g, g]).
+
+        return_logits keeps the reference kwarg's meaning
+        (sam2_image_predictor.py:179,264): False (default) thresholds the
+        full-res masks to bool; True returns un-thresholded float logits at
+        the original resolution. Binary masks are thresholded + bit-packed
+        inside one jit program (8 px/byte over the wire) and unpacked on the
+        host. fetch_low_res_logits=False skips the low-res logits'
+        device->host fetch (P x M x 256 KB fp32) and returns None in their
+        place — the proposal CLIs only consume the binary masks."""
         if self._pyramid is None:
             raise RuntimeError("call set_image first")
         pts = labels = boxes = None
@@ -160,11 +180,12 @@ class Sam2ImagePredictor:
             boxes = bx.reshape(1, -1, 4)
         masks, iou, _, obj = self._decode_fn(self.params, self._pyramid, pts, labels, boxes, multimask_output)
         logits = masks[0]  # [P, M, g, g]
-        # Full-res bool masks travel bit-packed (8 px/byte) and unpack on the
-        # host — same arrays, 8x less wire transfer on remote-attached TPUs.
-        packed = _packbits_last(resize_bilinear(logits, self._orig_hw) > 0)
-        full = _unpackbits_last(np.asarray(packed), self._orig_hw[1])
-        return full, np.asarray(iou[0]), np.asarray(logits) if return_logits else None
+        if return_logits:
+            full = np.asarray(_upsample_logits(logits, self._orig_hw))
+        else:
+            packed = _threshold_and_pack(logits, self._orig_hw)
+            full = _unpackbits_last(np.asarray(packed), self._orig_hw[1])
+        return full, np.asarray(iou[0]), np.asarray(logits) if fetch_low_res_logits else None
 
 
 class Sam2VideoPredictor:
@@ -400,6 +421,15 @@ class Sam2VideoPredictor:
         # Results are identical to the serial loop; only overlap changes.
         step = -1 if reverse else 1
         pending = None
+
+        def _fetch(pl, ph):
+            pl, ph = np.asarray(pl), np.asarray(ph)
+            if binarize:
+                g4 = self.config.image_size // 4
+                pl = _unpackbits_last(pl, g4)
+                ph = _unpackbits_last(ph, state["orig_hw"][1])
+            return pl, ph
+
         for t in order:
             pyramid, pos = self._frame_pyramid(state, t)
             self._prefetch_frame(state, t + step)
@@ -451,14 +481,6 @@ class Sam2VideoPredictor:
                     a.copy_to_host_async()
                 except Exception:
                     pass
-
-            def _fetch(pl, ph):
-                pl, ph = np.asarray(pl), np.asarray(ph)
-                if binarize:
-                    g4 = self.config.image_size // 4
-                    pl = _unpackbits_last(pl, g4)
-                    ph = _unpackbits_last(ph, state["orig_hw"][1])
-                return pl, ph
 
             if pending is not None:
                 pt, pl, ph = pending

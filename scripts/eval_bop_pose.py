@@ -1,13 +1,17 @@
-"""BOP-style pose evaluation driver (custom freepose protocol).
+"""BOP-style pose evaluation driver (freepose's modified protocol).
 
 CLI counterpart of the reference's modified bop_toolkit driver
-(bop_toolkit/scripts/eval_bop19_pose.py): for each estimate, compute the
-retrieval-aware errors {cus, chamfer, chamfer_proj} against every GT instance
-of its frame (GT meshes from the dataset's models dir, inference meshes from
-the retrieval mesh cache), then sweep correctness thresholds and report
-per-error average recall + the overall AR. Errors run on device (MXU chamfer
-NN + TPU silhouette renderer) in one process — no per-error subprocess fan-out
-(reference eval_bop19_pose.py:164-230) needed.
+(bop_toolkit/scripts/eval_bop19_pose.py), reproducing its exact
+association semantics: retrieved mesh ids carry no est<->GT correspondence,
+so EVERY estimate of an image competes for the GTs of EACH target object
+class (eval_calc_errors.py:323-341), sphere-overlap prefilters are bypassed
+(:394-414), errors are computed raw and normalized at scoring time —
+chamfer by the GT class diameter, chamfer_proj by 640/im_width
+(eval_calc_scores.py:54-57, 261-273) — and recall is the split-wide
+matched/valid-target ratio with the "inst_count most visible" GT validity
+rule (eval_calc_scores.py:238-253, score.py:63-120). Errors run on device
+(MXU chamfer NN + TPU silhouette renderer) in one process — no per-error
+subprocess fan-out (reference eval_bop19_pose.py:164-230) needed.
 """
 from __future__ import annotations
 
@@ -20,19 +24,34 @@ import numpy as np
 
 from freepose_tpu.datasets.bop import BOPDataset
 from freepose_tpu.evaluation import pose_error as pe
-from freepose_tpu.evaluation.score import DEFAULT_ERROR_THRESHOLDS, EstimateErrors, bop19_average_recalls
+from freepose_tpu.evaluation.score import (
+    DEFAULT_ERROR_THRESHOLDS,
+    ClassErrors,
+    EstimateErrors,
+    bop19_average_recalls_classed,
+    gt_valid_mask,
+)
 from freepose_tpu.io.bop_csv import read_results_csv
-from freepose_tpu.io.mesh import load_obj, load_ply
-from freepose_tpu.parallel.scheduler import current_shard
 from scripts.common import add_shard_args, get_shard
 
 
 def _load_mesh_any(path_obj: Path, path_ply: Path):
+    from freepose_tpu.io.mesh import load_obj, load_ply
+
     if path_ply.exists():
         return load_ply(path_ply)
     if path_obj.exists():
         return load_obj(path_obj)
     raise FileNotFoundError(f"{path_obj} / {path_ply}")
+
+
+def _true_diameter(verts: np.ndarray) -> float:
+    """Max pairwise vertex distance (the models_info 'diameter' definition)."""
+    v = np.asarray(verts, np.float64)
+    if len(v) > 2000:  # subsample for huge meshes; diameter is robust to it
+        v = v[:: len(v) // 2000]
+    d2 = ((v[:, None] - v[None]) ** 2).sum(-1)
+    return float(np.sqrt(d2.max()))
 
 
 def main() -> None:
@@ -45,8 +64,14 @@ def main() -> None:
     ap.add_argument("--errors", nargs="+", default=["cus", "chamfer", "chamfer_proj"],
                     help="any of cus chamfer chamfer_proj vsd mssd mspd")
     ap.add_argument("--n-points", type=int, default=2000, help="surface samples per mesh")
+    ap.add_argument("--points", choices=["surface", "vertices"], default="surface",
+                    help="mesh point set for distance errors; the reference "
+                    "toolkit uses raw vertices (eval_calc_errors.py:204-207)")
+    ap.add_argument("--targets", default=None,
+                    help="test_targets_bop19.json (scene_id/im_id/obj_id/"
+                    "inst_count); default = every GT class of every frame")
     ap.add_argument("--models-info", default=None,
-                    help="models_info.json for mssd/mspd symmetries + diameters")
+                    help="models_info.json for diameters + mssd/mspd symmetries")
     ap.add_argument("--vsd-delta", type=float, default=0.015, help="visibility tolerance (m)")
     ap.add_argument("--out", default=None)
     add_shard_args(ap)
@@ -63,6 +88,12 @@ def main() -> None:
     by_frame: dict = defaultdict(list)
     for r in results:
         by_frame[(r.scene_id, r.im_id)].append(r)
+
+    targets_by_frame: dict | None = None
+    if args.targets:
+        targets_by_frame = defaultdict(dict)
+        for t in json.loads(Path(args.targets).read_text()):
+            targets_by_frame[(t["scene_id"], t["im_id"])][t["obj_id"]] = t["inst_count"]
 
     # BOP19 VSD sweeps misalignment tolerances; AR_vsd = mean of the per-tau
     # ARs (reference eval_bop19_pose.py:19-40). Each tau becomes its own
@@ -91,9 +122,15 @@ def main() -> None:
 
     gt_meshes: dict = {}
     inf_meshes: dict = {}
+    diameters: dict = {}  # GT class -> diameter in metres
     renderer = None
-    per_frame = {err: [] for err in err_cols}
+    class_errors = {err: [] for err in err_cols}
     need_renderer = bool({"cus", "vsd"} & set(args.errors))
+
+    def _points(mesh):
+        if args.points == "vertices":
+            return np.asarray(mesh.vertices)
+        return mesh.sample_surface(args.n_points)
 
     shard = get_shard(args)
     for idx in shard.slice(len(dataset)):
@@ -103,23 +140,37 @@ def main() -> None:
         gts = entry["gt"]
         if not gts:
             continue
+        if targets_by_frame is not None:
+            im_targets = targets_by_frame.get(key, {})
+        else:  # every class present, all instances targeted
+            im_targets = {}
+            for g in gts:
+                im_targets[g["obj_id"]] = im_targets.get(g["obj_id"], 0) + 1
+        if not im_targets:
+            continue
         k = entry["intrinsic"]
         if renderer is None and need_renderer:
             h, w = entry["image"].shape[:2]
             renderer = pe.MaskRenderer(w, h)
         im_w = entry["image"].shape[1]
+        visib = [i.get("visib_fract") for i in entry.get("gt_info", [])]
+        visib = visib if len(visib) == len(gts) and all(v is not None for v in visib) else None
+        gt_valid = gt_valid_mask(gts, im_targets, visib)
 
-        frame_errors = {err: [] for err in err_cols}
+        # Raw errors of every estimate against every GT instance, one pass.
+        frame_ests: list[EstimateErrors] = []
         for est in ests:
             if est.obj_id not in inf_meshes:
                 mesh = _load_mesh_any(
                     Path(args.inference_mesh_dir) / str(est.obj_id) / f"{est.obj_id}.obj",
                     Path(args.inference_mesh_dir) / f"{est.obj_id}.ply",
-                ).normalized().scaled(est.scale)
+                ).normalized()
                 inf_meshes[est.obj_id] = mesh
                 if renderer is not None:
                     renderer.add_object(est.obj_id, mesh)
-            pts_est = inf_meshes[est.obj_id].sample_surface(args.n_points)
+            # Reference scales inference meshes by the estimate's scale
+            # (eval_calc_errors.py:379-385).
+            pts_est = _points(inf_meshes[est.obj_id]) * est.scale
             errs = {err: {} for err in err_cols}
             for gi, gt in enumerate(gts):
                 obj_id = gt["obj_id"]
@@ -129,55 +180,80 @@ def main() -> None:
                         Path(args.models_dir) / f"obj_{obj_id:06d}.ply",
                     )
                     gt_meshes[obj_id] = mesh.scaled(0.001)  # BOP models in mm
+                    if models_info and obj_id in models_info:
+                        diameters[obj_id] = float(models_info[obj_id]["diameter"]) / 1000.0
+                    else:
+                        diameters[obj_id] = _true_diameter(gt_meshes[obj_id].vertices)
                     if renderer is not None:
                         renderer.add_object(f"gt{obj_id}", gt_meshes[obj_id])
-                pts_gt = gt_meshes[obj_id].sample_surface(args.n_points)
+                pts_gt = _points(gt_meshes[obj_id])
                 r_gt = np.asarray(gt["cam_R_m2c"], np.float64).reshape(3, 3)
                 t_gt = np.asarray(gt["cam_t_m2c"], np.float64).reshape(3) / 1000.0
-                diameter = 2.0 * gt_meshes[obj_id].half_extent()
                 for err in args.errors:
                     if err == "chamfer":
-                        e = pe.chamfer(est.R, est.t, r_gt, t_gt, pts_est, pts_gt) / max(diameter, 1e-9)
+                        e = pe.chamfer(est.R, est.t, r_gt, t_gt, pts_est, pts_gt)
                     elif err == "chamfer_proj":
                         e = pe.chamfer_proj(est.R, est.t, r_gt, t_gt, k, pts_est, pts_gt)
                     elif err == "cus":
-                        e = pe.cus(est.R, est.t, r_gt, t_gt, k, renderer, est.obj_id, f"gt{obj_id}")
+                        e = pe.cus(est.R, est.t, r_gt, t_gt, k, renderer, est.obj_id, f"gt{obj_id}",
+                                   est_scale=est.scale)
                     elif err == "mssd":
-                        # Normalized by diameter (BOP19 thresholds 0.05-0.5 d).
                         e = pe.mssd(est.R, est.t, r_gt, t_gt, pts_est, pts_gt,
-                                    syms=_syms(obj_id)) / max(diameter, 1e-9)
+                                    syms=_syms(obj_id))
                     elif err == "mspd":
-                        # BOP19 thresholds 5r..50r px with r = w/640; store
-                        # the error already divided by r.
                         e = pe.mspd(est.R, est.t, r_gt, t_gt, k, pts_est, pts_gt,
-                                    syms=_syms(obj_id)) / (im_w / 640.0)
+                                    syms=_syms(obj_id))
                     elif err == "vsd":
                         depth_test = entry.get("depth")
                         if depth_test is None:
                             raise SystemExit("vsd requires the dataset's test depth images")
+                        diameter = diameters[obj_id]
                         vs = pe.vsd(est.R, est.t, r_gt, t_gt, depth_test, k,
                                     delta=args.vsd_delta, taus=vsd_taus,
                                     normalized_by_diameter=True, diameter=diameter,
-                                    renderer=renderer, inf_id=est.obj_id, gt_id=f"gt{obj_id}")
+                                    renderer=renderer, inf_id=est.obj_id, gt_id=f"gt{obj_id}",
+                                    est_scale=est.scale)
                         for tau, v in zip(vsd_taus, vs):
                             errs[f"vsd:{tau}"][gi] = float(v)
                         continue
                     else:
                         raise ValueError(err)
                     errs[err][gi] = float(e)
+            frame_ests.append(
+                EstimateErrors(entry["scene_id"], entry["frame_id"], est.obj_id, est.score, errs)
+            )
+
+        # Per-class competition: each target class sees EVERY estimate of
+        # the image, with errors restricted to its own GTs and normalized
+        # at scoring time (reference eval_calc_scores.py:261-273).
+        for obj_id in im_targets:
+            cls_gis = [gi for gi, g in enumerate(gts) if g["obj_id"] == obj_id]
+            if not cls_gis:
+                continue
             for err in err_cols:
-                frame_errors[err].append(
-                    EstimateErrors(entry["scene_id"], entry["frame_id"], est.obj_id, est.score, errs[err])
+                base = err.split(":")[0]
+                if base in ("chamfer", "mssd"):
+                    norm = 1.0 / max(diameters.get(obj_id, 1.0), 1e-9)
+                elif base in ("chamfer_proj", "mspd"):
+                    norm = 640.0 / im_w
+                else:
+                    norm = 1.0
+                cls_ests = [
+                    EstimateErrors(
+                        e.scene_id, e.im_id, e.obj_id, e.score,
+                        {gi: e.errors[err][gi] * norm for gi in cls_gis if gi in e.errors[err]},
+                    )
+                    for e in frame_ests
+                ]
+                class_errors[err].append(
+                    ClassErrors(entry["scene_id"], entry["frame_id"], obj_id,
+                                cls_ests, gt_valid, gt_ids=cls_gis)
                 )
-        for err in err_cols:
-            per_frame[err].append((frame_errors[err], len(gts)))
 
-    from freepose_tpu.evaluation.score import DEFAULT_ERROR_THRESHOLDS as _TH
-
-    thresholds = dict(_TH)
+    thresholds = dict(DEFAULT_ERROR_THRESHOLDS)
     for tau in vsd_taus:
         thresholds[f"vsd:{tau}"] = np.arange(0.05, 0.51, 0.05)  # BOP19 vsd sweep
-    scores = bop19_average_recalls({e: per_frame[e] for e in err_cols}, thresholds)
+    scores = bop19_average_recalls_classed(class_errors, thresholds)
     if vsd_taus:
         # AR_vsd = mean over the tau sweep (reference eval_bop19_pose.py:19-40);
         # fold the per-tau columns into one headline number.

@@ -73,6 +73,27 @@ def test_template_shard_roundtrip(tmp_path):
     np.testing.assert_allclose(item2["rgb"], item["rgb"])
 
 
+def test_template_degenerate_mask_fallback(tmp_path):
+    """Views with <100 mask pixels fall back to a central half-size square
+    (reference src/dataloader/template.py:75-77: 105:315 at 420²)."""
+    rng = np.random.default_rng(2)
+    v, h = 3, 40
+    rgb = rng.random((v, h, h, 3)).astype(np.float32)
+    depth = np.zeros((v, h, h), np.float32)
+    depth[0, 5:25, 5:25] = 1.0  # 400 px: healthy
+    depth[1, 7:10, 7:10] = 1.0  # 9 px: degenerate
+    # view 2 fully empty: degenerate
+    write_shard(tmp_path / "shard-000000.tar", {"meshx": (rgb, depth)})
+    item = WebTemplateDataset(tmp_path, ["meshx"], views=v)[0]
+    m = item["masks"]
+    assert m[0].sum() == 400 and not m[0, 0, 0]
+    for k in (1, 2):
+        inner = np.zeros((h, h), bool)
+        inner[h // 4 : 3 * h // 4, h // 4 : 3 * h // 4] = True
+        assert (m[k] & inner).sum() == inner.sum()
+    assert m[1, 8, 8]  # original pixels kept too
+
+
 def test_prefetcher_order_and_error(tmp_path):
     class DS:
         def __getitem__(self, i):
