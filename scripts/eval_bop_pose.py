@@ -161,10 +161,14 @@ def main() -> None:
         frame_ests: list[EstimateErrors] = []
         for est in ests:
             if est.obj_id not in inf_meshes:
+                # Loaded RAW, like the reference (eval_calc_errors.py:376-378,
+                # inout.load_mesh scale=1.0): retrieval meshes on disk are
+                # already unit-normalized by resize_meshes, so no re-centering
+                # here — the estimate's scale is the only scaling applied.
                 mesh = _load_mesh_any(
                     Path(args.inference_mesh_dir) / str(est.obj_id) / f"{est.obj_id}.obj",
                     Path(args.inference_mesh_dir) / f"{est.obj_id}.ply",
-                ).normalized()
+                )
                 inf_meshes[est.obj_id] = mesh
                 if renderer is not None:
                     renderer.add_object(est.obj_id, mesh)
