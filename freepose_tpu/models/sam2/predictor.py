@@ -344,9 +344,12 @@ class Sam2VideoPredictor:
         f32 logits — 4× less host transfer per frame; every pipeline consumer
         thresholds anyway.
 
-        reverse=True propagates from the prompt frame towards frame 0 (the
-        reference's backward pass, sam2_video_predictor.py:644-726); temporal
-        offsets flip sign inside track_step so memory ordering stays causal."""
+        reverse=True propagates from the EARLIEST prompt frame towards frame
+        0 (the reference's backward pass with its default start frame,
+        sam2_video_predictor.py:644-726); temporal offsets flip sign inside
+        track_step so memory ordering stays causal. Objects prompted on later
+        frames are conditioned eagerly at their own prompt frame and tracked
+        on every processed frame."""
         n = state["n_objects"]
         if n == 0:
             raise ValueError("no objects added")
@@ -360,10 +363,6 @@ class Sam2VideoPredictor:
         groups: dict[int, list[int]] = {}
         for i in range(n):
             groups.setdefault(state["prompts"][i][0], []).append(i)
-        if reverse and len(groups) != 1:
-            raise NotImplementedError(
-                "reverse propagation requires a single shared prompt frame"
-            )
         prompt_frame = min(groups)
 
         # Object groups pad to a multiple of the mesh's data-axis size so the
@@ -412,6 +411,24 @@ class Sam2VideoPredictor:
         if reverse:
             lo = -1 if max_frames is None else max(prompt_frame - max_frames, -1)
             order = range(prompt_frame, lo, -1)
+            # Groups prompted AFTER the sweep's start frame condition eagerly
+            # at their own prompt frame: once an object is prompted its cond
+            # memory exists regardless of sweep direction, so the reverse
+            # sweep (which starts at the EARLIEST prompt frame, the
+            # reference's default start, sam2_video_predictor.py:668-670)
+            # tracks every object on every processed frame
+            # (sam2_video_predictor.py:698-712 runs the full batch).
+            for pf in sorted(groups):
+                if pf == prompt_frame:
+                    continue  # initialised inside the sweep at t == start
+                idxs = groups[pf]
+                pyramid_pf, pos_pf = self._frame_pyramid(state, pf)
+                pts, lbl = group_prompts(idxs)
+                live[pf], _ = self._init_step(
+                    self.params, group_states(idxs), pyramid_pf,
+                    pyramid_pf[2], pos_pf[2], jnp.int32(pf),
+                    jnp.int32(num_frames), pts, lbl,
+                )
         else:
             order = range(prompt_frame, end)
 

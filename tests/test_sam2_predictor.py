@@ -180,6 +180,58 @@ def test_video_reverse_propagation(video_predictor):
     )
 
 
+def test_video_reverse_multi_prompt_frames(video_predictor):
+    """Reverse propagation with objects prompted on DIFFERENT frames
+    (reference sam2_video_predictor.py:644-726: reverse starts at the
+    earliest cond frame and tracks the full batch; objects prompted later
+    already carry their cond memory). The joint sweep must equal manually
+    driving each group with the low-level jitted steps."""
+    rng = np.random.default_rng(11)
+    frames = (rng.random((5, 64, 64, 3)) * 255).astype(np.uint8)
+    pred = video_predictor
+
+    state = pred.init_state(frames)
+    state = pred.add_new_points_or_box(state, 1, obj_id=0, box=np.array([5, 5, 30, 30]))
+    state = pred.add_new_points_or_box(
+        state, 3, obj_id=1, points=np.array([[40.0, 40.0]]), labels=np.array([1])
+    )
+    back = list(pred.propagate_in_video(state, reverse=True))
+    assert [t for t, *_ in back] == [1, 0]
+    for _, obj_ids, low, high in back:
+        assert obj_ids == [0, 1]
+        assert low.shape == (2, 16, 16) and np.isfinite(low).all()
+        assert high.shape == (2, 64, 64)
+
+    # Oracle: drive each object solo through the jitted steps it should see.
+    def solo_reverse(prompt_frame, prompt_idx, steps):
+        st = jax.tree.map(lambda x: x[None], init_object_state(pred.config))
+        pyr, pos = pred._frame_pyramid(state, prompt_frame)
+        pts = jnp.asarray(state["prompts"][prompt_idx][1])[None, None, None]
+        lbl = jnp.asarray(state["prompts"][prompt_idx][2])[None, None, None]
+        st, out = pred._init_step(pred.params, st, pyr, pyr[2], pos[2],
+                                  jnp.int32(prompt_frame), jnp.int32(5), pts, lbl)
+        outs = {prompt_frame: out}
+        for t in steps:
+            pyr, pos = pred._frame_pyramid(state, t)
+            st, out = pred._track_step_rev(pred.params, st, pyr, pyr[2], pos[2],
+                                           jnp.int32(t), jnp.int32(5))
+            outs[t] = out
+        return outs
+
+    solo0 = solo_reverse(1, 0, [0])  # obj 0: cond @1, stepped to 0
+    solo1 = solo_reverse(3, 1, [1, 0])  # obj 1: cond @3, stepped to 1 then 0
+
+    from freepose_tpu.models.sam2.predictor import postprocess_video_masks
+
+    for (t, _, low, _), ref_outs in ((back[0], (solo0[1], solo1[1])), (back[1], (solo0[0], solo1[0]))):
+        for obj, ref in enumerate(ref_outs):
+            exp, _ = postprocess_video_masks(
+                ref["pred_masks"][:, 0], ref["high_res_masks"][:, 0],
+                state["orig_hw"], False, False,
+            )
+            np.testing.assert_allclose(low[obj], np.asarray(exp)[0], atol=1e-4)
+
+
 def test_video_binarize_matches_logits_threshold(video_predictor):
     """binarize=True must equal host-side `logits > 0` exactly (same program
     up to the threshold), incl. the non-overlap suppression path."""
