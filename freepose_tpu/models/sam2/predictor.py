@@ -244,6 +244,60 @@ class Sam2VideoPredictor:
         )
         self._embed_fn = _embed
 
+        @partial(jax.jit, static_argnames=(
+            "sizes", "n_total", "reverse", "non_overlap", "binarize",
+            "packbits", "orig_hw",
+        ))
+        def _chunk(params, states, frames, t0, num_frames, idx_arrays, *,
+                   sizes, n_total, reverse, non_overlap, binarize, packbits,
+                   orig_hw):
+            """Propagate K frames in ONE program (lax.scan over frames):
+            prepare+embed+track(all groups)+postprocess per frame, packed
+            mask outputs stacked [K, ...]. One dispatch and one fetch per K
+            frames instead of 3 dispatches + 2 copies per frame — on
+            remote-attached TPUs the per-dispatch round trip (~30 ms) was
+            the largest per-frame cost; numerics are identical to the
+            per-frame path (same sub-programs, scanned).
+
+            states: tuple of stacked per-group ObjectStates (padded to the
+            mesh's data-axis size); idx_arrays/sizes: each group's object
+            indices and true (pre-padding) size; frames: [K, H, W, 3]."""
+            step = -1 if reverse else 1
+            track = self._track_step_rev if reverse else self._track_step
+            size_px = self.config.image_size
+            g4 = size_px // 4
+
+            def body(carry, xs):
+                states_c = carry
+                i, frame = xs
+                t = t0 + step * i
+                pixels = prepare_image.__wrapped__(frame, size_px)
+                pyramid, pos = self.model.apply(
+                    {"params": params}, pixels, method=Sam2VideoModel.embed_frame
+                )
+                low_raw = jnp.full((n_total, g4, g4), -32.0, jnp.float32)
+                high_raw = jnp.full((n_total, size_px, size_px), -32.0, jnp.float32)
+                new_states = []
+                for st, idx, size in zip(states_c, idx_arrays, sizes):
+                    st2, out = track(params, st, pyramid, pyramid[2], pos[2],
+                                     t, num_frames)
+                    new_states.append(st2)
+                    low_raw = low_raw.at[idx].set(
+                        out["pred_masks"][:size, 0].astype(jnp.float32))
+                    high_raw = high_raw.at[idx].set(
+                        out["high_res_masks"][:size, 0].astype(jnp.float32))
+                low_j, high_j = postprocess_video_masks(
+                    low_raw, high_raw, orig_hw, non_overlap, binarize,
+                    packbits=packbits,
+                )
+                return tuple(new_states), (low_j, high_j)
+
+            xs = (jnp.arange(frames.shape[0]), frames)
+            new_states, (lows, highs) = jax.lax.scan(body, states, xs)
+            return new_states, lows, highs
+
+        self._chunk_fn = _chunk
+
     # -------------------------------------------------------------- #
     def init_state(self, frames: np.ndarray):
         """frames: [T, H, W, 3] uint8/float. Returns an inference dict."""
@@ -335,7 +389,7 @@ class Sam2VideoPredictor:
     def propagate_in_video(
         self, state, start_frame_idx: int = 0, max_frames: int | None = None,
         reverse: bool = False, non_overlap_masks: bool = False,
-        binarize: bool = False,
+        binarize: bool = False, chunk: int = 8,
     ):
         """Generator over frames -> (frame_idx, obj_ids, low_res_masks
         [N, g4, g4], high_res_masks [N, H, W] at ORIGINAL resolution).
@@ -343,6 +397,10 @@ class Sam2VideoPredictor:
         binarize=True yields bool masks thresholded ON DEVICE (>0) instead of
         f32 logits — 4× less host transfer per frame; every pipeline consumer
         thresholds anyway.
+
+        chunk>1 runs maximal prompt-free frame runs through a single scanned
+        program (`chunk` frames per dispatch/fetch, numerically identical to
+        the per-frame path); chunk=1 recovers frame-at-a-time dispatch.
 
         reverse=True propagates from the EARLIEST prompt frame towards frame
         0 (the reference's backward pass with its default start frame,
@@ -432,12 +490,15 @@ class Sam2VideoPredictor:
         else:
             order = range(prompt_frame, end)
 
-        # Software pipeline: prefetch frame t+1's upload during frame t's
-        # compute, start async device->host copies of frame t's masks, and
-        # yield frame t-1 (whose copies have had a full frame to land).
-        # Results are identical to the serial loop; only overlap changes.
+        # Software pipeline: enqueue batch b's programs, start async
+        # device->host copies, and yield batch b-1 (whose copies have had a
+        # full batch of compute to land). Prompt-free frame runs go through
+        # the scanned chunk program — one dispatch + one fetch per `chunk`
+        # frames. Results are identical to the serial per-frame loop.
         step = -1 if reverse else 1
-        pending = None
+        chunk = max(1, int(chunk))
+        order_list = list(order)
+        pending = None  # (ts, low_dev, high_dev) — leading frame axis iff len(ts) > 1
 
         def _fetch(pl, ph):
             pl, ph = np.asarray(pl), np.asarray(ph)
@@ -447,9 +508,18 @@ class Sam2VideoPredictor:
                 ph = _unpackbits_last(ph, state["orig_hw"][1])
             return pl, ph
 
-        for t in order:
+        def _drain(batch):
+            ts, pl, ph = batch
+            pl, ph = _fetch(pl, ph)
+            if len(ts) == 1:
+                yield ts[0], list(state["obj_ids"]), pl, ph
+            else:
+                for z, t_ in enumerate(ts):
+                    yield t_, list(state["obj_ids"]), pl[z], ph[z]
+
+        def _run_frame(t):
+            """Per-frame path: prompt-group init + per-group steps."""
             pyramid, pos = self._frame_pyramid(state, t)
-            self._prefetch_frame(state, t + step)
             raw_s2, pos_s2 = pyramid[2], pos[2]
             outs: list[tuple[list[int], dict]] = []
             if t in groups and t not in live:
@@ -488,23 +558,64 @@ class Sam2VideoPredictor:
             # optional threshold, one program. Binarized masks additionally
             # bitpack on device (8 pixels/byte) and unpack on the host right
             # before the yield — same bool arrays, 8x less wire transfer.
-            low_j, high_j = postprocess_video_masks(
+            return postprocess_video_masks(
                 low_raw, high_raw,
                 state["orig_hw"], non_overlap_masks, binarize,
                 packbits=binarize,
             )
-            for a in (low_j, high_j):
+
+        def _run_chunk(ts):
+            """Scanned multi-frame path over the current live groups."""
+            if step == 1:
+                frames_np = state["frames"][ts[0] : ts[-1] + 1]
+            else:
+                frames_np = state["frames"][ts[-1] : ts[0] + 1][::-1]
+            frames_dev = self._put_frame(np.ascontiguousarray(frames_np))
+            order_pfs = sorted(live)
+            new_states, lows, highs = self._chunk_fn(
+                self.params, tuple(live[pf] for pf in order_pfs), frames_dev,
+                jnp.int32(ts[0]), jnp.int32(num_frames),
+                tuple(jnp.asarray(groups[pf]) for pf in order_pfs),
+                sizes=tuple(len(groups[pf]) for pf in order_pfs), n_total=n,
+                reverse=reverse, non_overlap=non_overlap_masks,
+                binarize=binarize, packbits=binarize,
+                orig_hw=state["orig_hw"],
+            )
+            for pf, st in zip(order_pfs, new_states):
+                live[pf] = st
+            return lows, highs
+
+        i = 0
+        while i < len(order_list):
+            t = order_list[i]
+            if (t in groups and t not in live) or chunk == 1 or not live:
+                low_j, high_j = _run_frame(t)
+                batch = ([t], low_j, high_j)
+                i += 1
+            else:
+                j = i
+                while (
+                    j < len(order_list) and j - i < chunk
+                    and not (order_list[j] in groups and order_list[j] not in live)
+                ):
+                    j += 1
+                ts = order_list[i:j]
+                if len(ts) == 1:
+                    # A length-1 run (e.g. between close prompt frames):
+                    # per-frame path, so _drain sees no leading frame axis.
+                    low_j, high_j = _run_frame(ts[0])
+                    batch = (ts, low_j, high_j)
+                else:
+                    lows, highs = _run_chunk(ts)
+                    batch = (ts, lows, highs)
+                i = j
+            for a in batch[1:]:
                 try:
                     a.copy_to_host_async()
                 except Exception:
                     pass
-
             if pending is not None:
-                pt, pl, ph = pending
-                pl, ph = _fetch(pl, ph)
-                yield pt, list(state["obj_ids"]), pl, ph
-            pending = (t, low_j, high_j)
+                yield from _drain(pending)
+            pending = batch
         if pending is not None:
-            pt, pl, ph = pending
-            pl, ph = _fetch(pl, ph)
-            yield pt, list(state["obj_ids"]), pl, ph
+            yield from _drain(pending)

@@ -180,6 +180,40 @@ def test_video_reverse_propagation(video_predictor):
     )
 
 
+@pytest.mark.parametrize("reverse", [False, True], ids=["fwd", "rev"])
+def test_video_chunked_matches_serial(video_predictor, reverse):
+    """chunk>1 (scanned multi-frame program) must equal the per-frame path
+    exactly — same sub-programs, scanned — including multi-prompt-frame
+    layouts where init frames split the runs."""
+    rng = np.random.default_rng(21)
+    frames = (rng.random((7, 48, 80, 3)) * 255).astype(np.uint8)
+
+    def run(chunk, binarize=False):
+        state = video_predictor.init_state(frames)
+        state = video_predictor.add_new_points_or_box(state, 1, obj_id=0, box=np.array([5, 5, 30, 30]))
+        state = video_predictor.add_new_points_or_box(
+            state, 4, obj_id=1, points=np.array([[50.0, 20.0]]), labels=np.array([1])
+        )
+        return list(video_predictor.propagate_in_video(
+            state, reverse=reverse, chunk=chunk, binarize=binarize,
+        ))
+
+    serial = run(chunk=1)
+    chunked = run(chunk=3)
+    assert [t for t, *_ in serial] == [t for t, *_ in chunked]
+    for (t1, o1, l1, h1), (t2, o2, l2, h2) in zip(serial, chunked):
+        assert o1 == o2
+        np.testing.assert_allclose(l1, l2, atol=1e-5)
+        np.testing.assert_allclose(h1, h2, atol=1e-5)
+
+    # Binarized masks follow the same path (packed on device).
+    sb = run(chunk=1, binarize=True)
+    cb = run(chunk=3, binarize=True)
+    for (t1, _, l1, h1), (t2, _, l2, h2) in zip(sb, cb):
+        np.testing.assert_array_equal(l1, l2)
+        np.testing.assert_array_equal(h1, h2)
+
+
 def test_video_reverse_multi_prompt_frames(video_predictor):
     """Reverse propagation with objects prompted on DIFFERENT frames
     (reference sam2_video_predictor.py:644-726: reverse starts at the
