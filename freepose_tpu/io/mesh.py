@@ -25,11 +25,20 @@ TEXTURE_BAKE_MAX_FACES = 16384
 
 @dataclasses.dataclass
 class TriMesh:
-    """Triangle mesh with optional per-vertex colors (float [0, 1])."""
+    """Triangle mesh with optional per-vertex colors (float [0, 1]) and an
+    optional texture atlas. `uv` rows are (u, v, has_vt): OBJ texture
+    coordinates after UV-seam vertex splitting plus a validity channel (1
+    where the face referenced a real vt; midpoint subdivision averages it, so
+    any no-vt ancestry ends < 1). When `texture` is set the rasterizer can
+    sample it per pixel (ops/texture.py) — the reference's GL textured render
+    (src/pipeline/retrieval/renderer.py:37-68); `vertex_colors` always holds
+    the baked fallback."""
 
     vertices: np.ndarray  # [V, 3] float32
     faces: np.ndarray  # [F, 3] int32
     vertex_colors: np.ndarray | None = None  # [V, 3] float32 in [0,1]
+    uv: np.ndarray | None = None  # [V, 3] float32: (u, v, has_vt)
+    texture: np.ndarray | None = None  # [Ht, Wt, 3] float32 in [0,1]
 
     @property
     def num_vertices(self) -> int:
@@ -47,7 +56,8 @@ class TriMesh:
         return float((hi - lo).max()) / 2.0
 
     def scaled(self, s: float) -> "TriMesh":
-        return TriMesh(self.vertices * s, self.faces, self.vertex_colors)
+        return TriMesh(self.vertices * s, self.faces, self.vertex_colors,
+                       self.uv, self.texture)
 
     def normalized(self) -> "TriMesh":
         """Centre at the AABB midpoint and scale to unit half-extent
@@ -56,7 +66,8 @@ class TriMesh:
         center = (lo + hi) / 2.0
         scale = self.half_extent()
         v = (self.vertices - center) / max(scale, 1e-12)
-        return TriMesh(v.astype(np.float32), self.faces, self.vertex_colors)
+        return TriMesh(v.astype(np.float32), self.faces, self.vertex_colors,
+                       self.uv, self.texture)
 
     def face_areas(self) -> np.ndarray:
         v = self.vertices
@@ -211,6 +222,16 @@ def load_obj(path: str | Path, load_texture: bool = True) -> TriMesh:
         uv = np.where(wrap, uv - np.floor(uv), uv)
         vertex_colors = _bake_texture_to_vertices(uv, mtl_texture)
         vertex_colors[uvw[:, 2] < 0.999] = 0.7  # any no-vt ancestry -> gray
+        # Keep wrapped UVs + the texture: the rasterizer samples it per
+        # pixel (ops/texture.py); the bake above stays the fallback.
+        tex = mtl_texture[..., :3].astype(np.float32)
+        if tex.max() > 1.5:
+            tex = tex / 255.0
+        return TriMesh(
+            vertices, faces_arr, vertex_colors,
+            uv=np.concatenate([uv, uvw[:, 2:3]], axis=1).astype(np.float32),
+            texture=tex,
+        )
     return TriMesh(vertices, faces_arr, vertex_colors)
 
 
@@ -326,10 +347,7 @@ def pad_mesh(mesh: TriMesh, max_vertices: int, max_faces: int) -> tuple[np.ndarr
     colors [Vmax,3], faces [Fmax,3], face_valid [Fmax]). Padding faces are
     degenerate (index 0) and masked out by `face_valid`. Meshes over budget
     are decimated by vertex clustering first (never silently truncated)."""
-    if mesh.num_faces > max_faces or mesh.num_vertices > max_vertices:
-        mesh = decimate_vertex_clustering(mesh, target_faces=max_faces)
-        while mesh.num_vertices > max_vertices or mesh.num_faces > max_faces:
-            mesh = decimate_vertex_clustering(mesh, target_faces=mesh.num_faces // 2)
+    mesh = fit_to_budget(mesh, max_vertices, max_faces)
     v = np.zeros((max_vertices, 3), np.float32)
     v[: mesh.num_vertices] = mesh.vertices[:max_vertices]
     c = np.full((max_vertices, 3), 0.7, np.float32)
@@ -341,6 +359,30 @@ def pad_mesh(mesh: TriMesh, max_vertices: int, max_faces: int) -> tuple[np.ndarr
     valid = np.zeros(max_faces, bool)
     valid[:nf] = True
     return v, c, f, valid
+
+
+def fit_to_budget(mesh: TriMesh, max_vertices: int, max_faces: int) -> TriMesh:
+    """Decimate (vertex clustering) until the mesh fits the static raster
+    budget — the same policy pad_mesh applies internally. Call this first
+    when you also need budget-aligned per-vertex attributes (pad_uv)."""
+    if mesh.num_faces > max_faces or mesh.num_vertices > max_vertices:
+        mesh = decimate_vertex_clustering(mesh, target_faces=max_faces)
+        while mesh.num_vertices > max_vertices or mesh.num_faces > max_faces:
+            mesh = decimate_vertex_clustering(mesh, target_faces=mesh.num_faces // 2)
+    return mesh
+
+
+def pad_uv(mesh: TriMesh, max_vertices: int) -> np.ndarray | None:
+    """Padded [Vmax, 3] (u, v, has_vt) attribute for ops/texture.py, aligned
+    with pad_mesh's vertex layout, or None when the mesh carries no texture.
+    Padding rows have has_vt=0 (gray fallback). The mesh must already fit
+    the budget (fit_to_budget) so vertex indices line up with pad_mesh."""
+    if mesh.uv is None or mesh.texture is None:
+        return None
+    uvw = np.zeros((max_vertices, 3), np.float32)
+    n = min(mesh.num_vertices, max_vertices)
+    uvw[:n] = mesh.uv[:n]
+    return uvw
 
 
 def decimate_vertex_clustering(mesh: TriMesh, target_faces: int, iters: int = 8) -> TriMesh:
@@ -370,18 +412,24 @@ def decimate_vertex_clustering(mesh: TriMesh, target_faces: int, iters: int = 8)
             np.bincount(inverse, weights=mesh.vertices[:, c], minlength=n_clusters)
             for c in range(3)
         ], axis=1) / counts[:, None]
-        colors = None
+        colors = uv = None
         if mesh.vertex_colors is not None:
             colors = np.stack([
                 np.bincount(inverse, weights=mesh.vertex_colors[:, c], minlength=n_clusters)
                 for c in range(3)
             ], axis=1) / counts[:, None]
+        if mesh.uv is not None:
+            uv = (np.stack([
+                np.bincount(inverse, weights=mesh.uv[:, c], minlength=n_clusters)
+                for c in range(3)
+            ], axis=1) / counts[:, None]).astype(np.float32)
         faces = inverse[mesh.faces]
         nondegenerate = (
             (faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2]) & (faces[:, 0] != faces[:, 2])
         )
         faces = faces[nondegenerate]
-        candidate = TriMesh(verts.astype(np.float32), faces.astype(np.int32), colors)
+        candidate = TriMesh(verts.astype(np.float32), faces.astype(np.int32),
+                            colors, uv, mesh.texture)
         if candidate.num_faces <= target_faces:
             best = candidate
             cell *= 0.7  # try finer for more detail within budget

@@ -43,6 +43,9 @@ class TemplateRenderer:
     max_faces: int = 16384
     pose_chunk: int = 128
     settings: RasterSettings | None = None
+    # "auto": per-pixel texture sampling when the mesh carries an atlas
+    # (reference GL fidelity); "bake": always shade baked vertex colors.
+    texture_mode: str = "auto"
 
     def __post_init__(self):
         if self.settings is None:
@@ -62,6 +65,21 @@ class TemplateRenderer:
         return self.render_from_poses(mesh, self.poses, scale=scale)
 
     def render_from_poses(self, mesh: TriMesh, poses: jax.Array, scale: float = RENDERING_SCALE):
+        """Textured meshes sample their atlas per pixel (ops/texture.py — the
+        reference's GL textured render, renderer.py:37-68) when texture_mode
+        is "auto"; "bake" forces the per-vertex-color fallback."""
+        if self.texture_mode == "auto" and mesh.texture is not None and mesh.uv is not None:
+            from freepose_tpu.io.mesh import fit_to_budget, pad_uv
+            from freepose_tpu.ops.texture import render_textured
+
+            fitted = fit_to_budget(mesh, self.max_vertices, self.max_faces)
+            v, c, f, valid = self._padded(fitted, scale)
+            uvw = pad_uv(fitted, self.max_vertices)
+            return render_textured(
+                v, jnp.asarray(uvw), f, valid, poses, self.k,
+                jnp.asarray(fitted.texture), self.settings,
+                pose_chunk=self.pose_chunk,
+            )
         v, c, f, valid = self._padded(mesh, scale)
         return render_meshes(v, c, f, valid, poses, self.k, self.settings, pose_chunk=self.pose_chunk)
 
