@@ -10,6 +10,8 @@ initialised state dict runs through the real converter
 (convert.cotracker2_from_hub), which both pins the expected checkpoint key
 layout and checks converted numerics end-to-end.
 """
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -476,6 +478,153 @@ def test_full_forward_multi_window():
     np.testing.assert_allclose(vis[:step], ref_vis.numpy()[:step], atol=5e-3)
     assert np.abs(tracks - ref_tracks.numpy()).max() < 3.0
     assert np.abs(vis - ref_vis.numpy()).max() < 0.3
+
+
+def test_full_forward_multi_window_tame_weights_tight_parity():
+    """Sliding-window chaining with TIGHT parity on EVERY frame — the path
+    TrackingRefiner actually drives (reference tracking_refiner.py:160-166).
+
+    Random-init weights make the iterative tracker chaotic past window 0
+    (see test_full_forward_multi_window), so this test scales the update
+    head (flow_head) into a contractive regime: deltas stay small, the
+    window chain is numerically stable, and any structural divergence in the
+    chaining (wrong init handover, frame offsets, mask handling, query
+    pinning) shows up at full precision instead of hiding inside a chaos
+    bound. Stability is PROVEN in-test by a twin-vs-perturbed-twin
+    sensitivity run before asserting jax-vs-torch parity."""
+    torch.manual_seed(2)
+    full = TCoTracker2(CFG).eval()
+    with torch.no_grad():
+        full.updateformer.flow_head.weight.mul_(0.02)
+        full.updateformer.flow_head.bias.mul_(0.02)
+    params = _convert(full)
+    t, h, w = 20, 48, 64  # 4 windows of len 8 / step 4 — 3 chained handovers
+    step = CFG.window_len // 2
+    assert (t - CFG.window_len + step - 1) // step + 1 >= 4
+    rs = np.random.RandomState(3)
+    video = rs.uniform(0, 255, (t, h, w, 3)).astype(np.float32)
+    queries = np.array([[0, 10.5, 20.0], [0, 40.0, 30.0], [3, 25.0, 12.5]], np.float32)
+    with torch.no_grad():
+        ref_tracks, ref_vis = full(
+            torch.tensor(video).permute(0, 3, 1, 2), torch.tensor(queries), iters=2
+        )
+        per_tracks, per_vis = full(
+            torch.tensor(video + 1e-4 * rs.standard_normal(video.shape).astype(np.float32)).permute(0, 3, 1, 2),
+            torch.tensor(queries), iters=2,
+        )
+    # Calibration: the tame config really is stable under input perturbation
+    # (the random-init config drifts ~1 px here).
+    sens = (per_tracks - ref_tracks).abs().max().item()
+    assert sens < 2e-3, f"tame config still chaotic: sensitivity {sens}"
+    tracks, vis = CoTracker2(CFG).apply(
+        {"params": params}, jnp.asarray(video), jnp.asarray(queries), 2
+    )
+    np.testing.assert_allclose(np.asarray(tracks), ref_tracks.numpy(), atol=5e-3)
+    np.testing.assert_allclose(np.asarray(vis), ref_vis.numpy(), atol=5e-3)
+
+
+def test_synthetic_motion_known_gt_tracks():
+    """End-to-end MOTION ACCURACY against known ground truth — no trained
+    checkpoint needed. The update former's weights are HAND-CRAFTED into a
+    coarse-to-fine correlation argmax:
+
+      * every attention block is zeroed into an identity (residual pass);
+      * input_transform routes the level-0/1 corr-window dims into the token;
+      * time-block-0's MLP thresholds them (GELU(a*(LN(tok)-thr)), per-level
+        thresholds — pooled level 1 runs lower), culling side lobes;
+      * flow_head reads the thresholded taps weighted by their window offsets
+        (x is the FIRST window axis: the published sampler builds the tap
+        grid (dy, dx) row-major but adds it to (x, y) coords, so axis 0
+        offsets x — cotracker/models/core/model_utils.py sampling quirk that
+        this test would catch if either side got it wrong).
+
+    The video is a high-contrast blob jumping 16 px (one deepest-stride
+    cell, where the conv encoder is translation-equivariant up to O(1/H)
+    align_corners phase) per 4-frame window step. A correct implementation
+    of the corr pyramid geometry + sliding-window chaining + query pinning
+    tracks it to ~1 px; mixing up tap axes, window handover or level scales
+    blows up by tens of px. Reference flow: tracking_refiner.py:160-166."""
+    cfg = dataclasses.replace(
+        COTRACKER2_TEST, corr_radius=2, hidden_size=128,
+        model_resolution=(64, 256),
+    )
+    assert cfg.input_dim % 4 == 0
+    torch.manual_seed(0)
+    full = TCoTracker2(cfg).eval()
+
+    lat, r = cfg.latent_dim, cfg.corr_radius
+    side = 2 * r + 1
+    n01 = 2 * side * side  # level-0 + level-1 corr dims
+    flow_dims = 2 + 2 * cfg.flow_emb_dim
+    hid = cfg.hidden_size
+    a, thr0, thr1, g, iters = 2.0, 2.5, 0.9, 0.05, 12
+
+    t_frames, h, w = 16, 64, 256
+    rs = np.random.RandomState(7)
+    base = np.full((h, w, 3), 128.0, np.float32)
+    by, bx = 20, 32
+    blob = rs.uniform(0, 255, (20, 20, 3)).astype(np.float32)
+    video = np.zeros((t_frames, h, w, 3), np.float32)
+    for t in range(t_frames):
+        f = base.copy()
+        s = (t // 4) * 16
+        f[by:by + 20, bx + s:bx + 20 + s] = blob
+        video[t] = f
+    queries = np.array([[0, bx + 8.0, by + 8.0]], np.float32)  # on the feature grid
+    gt = np.stack(
+        [queries[0, 1] + (np.arange(t_frames) // 4) * 16,
+         np.full(t_frames, queries[0, 2])], axis=-1,
+    )
+
+    with torch.no_grad():
+        for blk in list(full.updateformer.time_blocks) + list(full.updateformer.space_virtual_blocks):
+            blk.attn.to_out.weight.zero_(); blk.attn.to_out.bias.zero_()
+            blk.mlp.fc2.weight.zero_(); blk.mlp.fc2.bias.zero_()
+        for blk in list(full.updateformer.space_point2virtual_blocks) + list(full.updateformer.space_virtual2point_blocks):
+            blk.cross_attn.to_out.weight.zero_(); blk.cross_attn.to_out.bias.zero_()
+            blk.mlp.fc2.weight.zero_(); blk.mlp.fc2.bias.zero_()
+        wt = torch.zeros(hid, cfg.input_dim)
+        for j in range(n01):
+            wt[j, flow_dims + j] = 1.0
+        full.updateformer.input_transform.weight.copy_(wt)
+        full.updateformer.input_transform.bias.zero_()
+        blk0 = full.updateformer.time_blocks[0]
+        w1 = torch.zeros(blk0.mlp.fc1.out_features, hid)
+        b1 = torch.zeros(blk0.mlp.fc1.out_features)
+        for j in range(n01):
+            w1[j, j] = a
+            b1[j] = -a * (thr0 if j < side * side else thr1)
+        blk0.mlp.fc1.weight.copy_(w1); blk0.mlp.fc1.bias.copy_(b1)
+        w2 = torch.zeros(hid, blk0.mlp.fc1.out_features)
+        for j in range(n01):
+            w2[n01 + j, j] = 1.0
+        blk0.mlp.fc2.weight.copy_(w2); blk0.mlp.fc2.bias.zero_()
+        wf = torch.zeros(lat + 2, hid)
+        for lv in range(2):
+            for j in range(side * side):
+                wf[0, n01 + lv * side * side + j] = g * (2 ** lv) * (j // side - r)
+                wf[1, n01 + lv * side * side + j] = g * (2 ** lv) * (j % side - r)
+        full.updateformer.flow_head.weight.copy_(wf)
+        full.updateformer.flow_head.bias.zero_()
+        full.track_feat_updater[0].weight.zero_(); full.track_feat_updater[0].bias.zero_()
+        full.vis_predictor[0].weight.zero_(); full.vis_predictor[0].bias.fill_(10.0)
+
+        ref_tracks, _ = full(
+            torch.tensor(video).permute(0, 3, 1, 2), torch.tensor(queries), iters=iters
+        )
+    err_ref = np.hypot(*(ref_tracks.numpy()[:, 0] - gt).T)
+    assert err_ref.max() < 2.5, f"rig sanity: torch twin err {err_ref.max():.2f} px"
+
+    sd = {k: v.detach().numpy() for k, v in full.state_dict().items()}
+    params = convert.cotracker2_from_hub(sd, depth=cfg.depth)
+    tracks, _ = CoTracker2(cfg).apply(
+        {"params": params}, jnp.asarray(video), jnp.asarray(queries), iters
+    )
+    err = np.hypot(*(np.asarray(tracks)[:, 0] - gt).T)
+    assert err.max() < 2.5, f"jax tracker err vs GT {err.max():.2f} px"
+    np.testing.assert_allclose(
+        np.asarray(tracks), ref_tracks.numpy(), atol=5e-3
+    )
 
 
 def test_converter_covers_full_released_layout():
