@@ -1,17 +1,18 @@
 """Round benchmark on one TPU chip.
 
-Default metric: the per-frame fine-refine step of the VIDEO pose pipeline
-(reference scripts/dino_inference_video.py per-frame loop) at reference
-parity config — 20k-pose fine grid, 15° neighbourhood (static cap 32),
-DINOv2-L/14-reg bf16 features, 16k-face mesh — with the fine-view cache
-(freepose_tpu/pipeline/fine_cache.py) on a 2°/frame rotating-object
-trajectory. This is the pipeline's steady-state per-frame cost, so FPS here
-is directly comparable to the ≥10 FPS end-to-end north star
-(/root/repo/BASELINE.md); vs_baseline = FPS / 10.
+Default metric: HONEST END-TO-END per-frame cost of the video pose pipeline
+(reference extract_proposals_ground_video -> dino_inference_video per-frame
+loops, interleaved): SAM2 hiera-L mask propagation (chunked — one scanned
+program per 8 frames) PLUS the fine pose refine (autonomous device-resident
+fine-view cache chain) at reference-parity config — 720p video, 20k-pose
+fine grid, 32-view neighbourhood, DINOv2-L/14-reg bf16 features, 16k-face
+mesh, 2°/frame object motion. vs_baseline = FPS / 10 (BASELINE.md north
+star; that target was set for a v5p-8 — this measures ONE chip).
 
-FREEPOSE_BENCH=coarse switches to the static-dataset coarse hot path
-(scripts/dino_inference.py per-proposal loop): DINOv2-L@420 bf16 features +
-600-view cosine match + z-lift, reported in proposals/s.
+FREEPOSE_BENCH=refine reports the fine-refine stage alone (the
+dino_inference_video per-frame loop when masks are precomputed, the
+reference's own stage split); FREEPOSE_BENCH=coarse the static-dataset
+coarse hot path (scripts/dino_inference.py) in proposals/s.
 
 Prints ONE JSON line {metric, value, unit, vs_baseline}.
 """
@@ -42,9 +43,33 @@ TARGET_FPS = 10.0
 
 
 def main() -> None:
-    if os.environ.get("FREEPOSE_BENCH", "refine") != "coarse":
+    which = os.environ.get("FREEPOSE_BENCH", "e2e")
+    if which == "coarse":
+        return main_coarse()
+    if which == "refine":
         return main_refine()
-    return main_coarse()
+    return main_e2e()
+
+
+def main_e2e() -> None:
+    from scripts.bench_e2e import make_args, run_e2e_bench
+
+    res = run_e2e_bench(
+        make_args(tiny=TINY, frames=8 if TINY else 24, warmup=2 if TINY else 8)
+    )
+    fps = 1e3 / res["e2e_ms"]
+    print(
+        json.dumps(
+            {
+                "metric": "end-to-end video pipeline FPS per chip (SAM2 "
+                "hiera-L propagation + fine refine interleaved, 720p, 20k "
+                "grid, DINOv2-L bf16, 2 deg/frame)",
+                "value": round(fps, 2),
+                "unit": "FPS",
+                "vs_baseline": round(fps / TARGET_FPS, 3),
+            }
+        )
+    )
 
 
 def main_refine() -> None:

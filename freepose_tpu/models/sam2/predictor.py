@@ -248,7 +248,8 @@ class Sam2VideoPredictor:
             "sizes", "n_total", "reverse", "non_overlap", "binarize",
             "packbits", "orig_hw",
         ))
-        def _chunk(params, states, frames, t0, num_frames, idx_arrays, *,
+        def _chunk(params, states, frames, t0, num_frames, n_valid,
+                   idx_arrays, *,
                    sizes, n_total, reverse, non_overlap, binarize, packbits,
                    orig_hw):
             """Propagate K frames in ONE program (lax.scan over frames):
@@ -261,7 +262,14 @@ class Sam2VideoPredictor:
 
             states: tuple of stacked per-group ObjectStates (padded to the
             mesh's data-axis size); idx_arrays/sizes: each group's object
-            indices and true (pre-padding) size; frames: [K, H, W, 3]."""
+            indices and true (pre-padding) size; frames: [K, H, W, 3].
+
+            Tail runs shorter than the chunk size are PADDED to K by the
+            caller (repeating the last frame) so every batch reuses ONE
+            compiled program — remote-TPU compiles of this scan take minutes
+            and the persistent cache cannot be relied on. `n_valid` masks
+            the padded steps' state writes (their outputs are discarded on
+            the host), so ring buffers/t_pos never see the padding."""
             step = -1 if reverse else 1
             track = self._track_step_rev if reverse else self._track_step
             size_px = self.config.image_size
@@ -271,6 +279,7 @@ class Sam2VideoPredictor:
                 states_c = carry
                 i, frame = xs
                 t = t0 + step * i
+                is_pad = i >= n_valid
                 pixels = prepare_image.__wrapped__(frame, size_px)
                 pyramid, pos = self.model.apply(
                     {"params": params}, pixels, method=Sam2VideoModel.embed_frame
@@ -281,6 +290,10 @@ class Sam2VideoPredictor:
                 for st, idx, size in zip(states_c, idx_arrays, sizes):
                     st2, out = track(params, st, pyramid, pyramid[2], pos[2],
                                      t, num_frames)
+                    # Padded steps must not advance the memory state.
+                    st2 = jax.tree.map(
+                        lambda new, old: jnp.where(is_pad, old, new), st2, st
+                    )
                     new_states.append(st2)
                     low_raw = low_raw.at[idx].set(
                         out["pred_masks"][:size, 0].astype(jnp.float32))
@@ -565,16 +578,25 @@ class Sam2VideoPredictor:
             )
 
         def _run_chunk(ts):
-            """Scanned multi-frame path over the current live groups."""
+            """Scanned multi-frame path over the current live groups. Runs
+            shorter than `chunk` pad to the full chunk length (repeating the
+            last frame; the program masks their state writes and the host
+            discards their outputs) so every batch hits the SAME compiled
+            executable — each distinct K would otherwise compile its own
+            multi-minute program on a remote TPU."""
             if step == 1:
                 frames_np = state["frames"][ts[0] : ts[-1] + 1]
             else:
                 frames_np = state["frames"][ts[-1] : ts[0] + 1][::-1]
-            frames_dev = self._put_frame(np.ascontiguousarray(frames_np))
+            frames_np = np.ascontiguousarray(frames_np)
+            if len(ts) < chunk:
+                pad = np.repeat(frames_np[-1:], chunk - len(ts), axis=0)
+                frames_np = np.concatenate([frames_np, pad], axis=0)
+            frames_dev = self._put_frame(frames_np)
             order_pfs = sorted(live)
             new_states, lows, highs = self._chunk_fn(
                 self.params, tuple(live[pf] for pf in order_pfs), frames_dev,
-                jnp.int32(ts[0]), jnp.int32(num_frames),
+                jnp.int32(ts[0]), jnp.int32(num_frames), jnp.int32(len(ts)),
                 tuple(jnp.asarray(groups[pf]) for pf in order_pfs),
                 sizes=tuple(len(groups[pf]) for pf in order_pfs), n_total=n,
                 reverse=reverse, non_overlap=non_overlap_masks,
@@ -583,7 +605,7 @@ class Sam2VideoPredictor:
             )
             for pf, st in zip(order_pfs, new_states):
                 live[pf] = st
-            return lows, highs
+            return lows[: len(ts)], highs[: len(ts)]
 
         i = 0
         while i < len(order_list):

@@ -25,7 +25,33 @@ import time
 _CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
 
 
+def make_args(**kw):
+    """Default bench args, overridable by keyword (mirrors the CLI flags)."""
+    import types
+
+    d = dict(tiny=False, frames=24, warmup=6, deg_per_frame=2.0,
+             no_chain=False, auto_bucket=16)
+    d.update(kw)
+    return types.SimpleNamespace(**d)
+
+
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--frames", type=int, default=24)
+    ap.add_argument("--warmup", type=int, default=6)
+    ap.add_argument("--deg-per-frame", type=float, default=2.0)
+    ap.add_argument(
+        "--no-chain", action="store_true",
+        help="serial refine_cached per frame instead of the pipelined "
+        "AutoRefineChain (device-resident cache, back-to-back enqueue)",
+    )
+    ap.add_argument("--auto-bucket", type=int, default=16)
+    run_e2e_bench(ap.parse_args())
+
+
+def run_e2e_bench(args) -> dict:
+    """Returns {"e2e_ms": mean ms/frame, "sam2_ms": ..., "mode": ...}."""
     import jax
 
     try:
@@ -47,19 +73,6 @@ def main() -> None:
     from freepose_tpu.pipeline.renderer import TemplateRenderer
     from freepose_tpu.pipeline.template_bank import TemplateBank
     from scripts.bench_sam2 import random_params_like
-
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--tiny", action="store_true")
-    ap.add_argument("--frames", type=int, default=24)
-    ap.add_argument("--warmup", type=int, default=6)
-    ap.add_argument("--deg-per-frame", type=float, default=2.0)
-    ap.add_argument(
-        "--no-chain", action="store_true",
-        help="serial refine_cached per frame instead of the pipelined "
-        "AutoRefineChain (device-resident cache, back-to-back enqueue)",
-    )
-    ap.add_argument("--auto-bucket", type=int, default=16)
-    args = ap.parse_args()
 
     rng = np.random.default_rng(0)
 
@@ -188,6 +201,8 @@ def main() -> None:
             f"e2e serial    : {ms(t_tot):.1f} ms/frame = {1e3 / ms(t_tot):.2f} FPS/chip "
             f"(stage-parallel 2-chip bound: {1e3 / max(ms(t_sam), ms(t_ref)):.2f} FPS)"
         )
+        return {"e2e_ms": ms(t_tot), "sam2_ms": ms(t_sam),
+                "refine_ms": ms(t_ref), "mode": "serial"}
     else:
         # Pipelined production path (dino_inference_video --chain-refine):
         # SAM2's software-pipelined propagation interleaves with the
@@ -229,6 +244,7 @@ def main() -> None:
             f"(AutoRefineChain bucket {args.auto_bucket}, "
             f"{chain.n_full_redispatch} full re-dispatches)"
         )
+        return {"e2e_ms": m, "sam2_ms": ms(t_sam), "mode": "chained"}
 
 
 if __name__ == "__main__":
