@@ -577,8 +577,8 @@ class Sam2VideoPredictor:
                 packbits=binarize,
             )
 
-        def _run_chunk(ts):
-            """Scanned multi-frame path over the current live groups. Runs
+        def _upload_chunk(ts):
+            """Start the (async) device upload of a multi-frame batch. Runs
             shorter than `chunk` pad to the full chunk length (repeating the
             last frame; the program masks their state writes and the host
             discards their outputs) so every batch hits the SAME compiled
@@ -592,7 +592,10 @@ class Sam2VideoPredictor:
             if len(ts) < chunk:
                 pad = np.repeat(frames_np[-1:], chunk - len(ts), axis=0)
                 frames_np = np.concatenate([frames_np, pad], axis=0)
-            frames_dev = self._put_frame(frames_np)
+            return self._put_frame(frames_np)
+
+        def _run_chunk(ts, frames_dev):
+            """Scanned multi-frame path over the current live groups."""
             order_pfs = sorted(live)
             new_states, lows, highs = self._chunk_fn(
                 self.params, tuple(live[pf] for pf in order_pfs), frames_dev,
@@ -607,30 +610,46 @@ class Sam2VideoPredictor:
                 live[pf] = st
             return lows[: len(ts)], highs[: len(ts)]
 
+        # Batch plan, computed upfront (prompt frames and length-1 runs are
+        # singletons via the per-frame path; maximal prompt-free runs go
+        # through the scanned chunk program): knowing the plan lets batch
+        # b+1's frame upload start (async device_put) while batch b's
+        # program computes — the 8-frame upload is ~1 s through a remote
+        # tunnel and fully hides behind the batch's device time.
+        plan: list[list[int]] = []
+        live_keys = set(live)
         i = 0
         while i < len(order_list):
             t = order_list[i]
-            if (t in groups and t not in live) or chunk == 1 or not live:
-                low_j, high_j = _run_frame(t)
-                batch = ([t], low_j, high_j)
+            if (t in groups and t not in live_keys) or chunk == 1 or not live_keys:
+                plan.append([t])
+                if t in groups:
+                    live_keys.add(t)
                 i += 1
             else:
                 j = i
                 while (
                     j < len(order_list) and j - i < chunk
-                    and not (order_list[j] in groups and order_list[j] not in live)
+                    and not (order_list[j] in groups and order_list[j] not in live_keys)
                 ):
                     j += 1
-                ts = order_list[i:j]
-                if len(ts) == 1:
-                    # A length-1 run (e.g. between close prompt frames):
-                    # per-frame path, so _drain sees no leading frame axis.
-                    low_j, high_j = _run_frame(ts[0])
-                    batch = (ts, low_j, high_j)
-                else:
-                    lows, highs = _run_chunk(ts)
-                    batch = (ts, lows, highs)
+                plan.append(order_list[i:j])
                 i = j
+
+        uploads: dict[int, object] = {}
+        for bi, ts in enumerate(plan):
+            if len(ts) > 1 and bi not in uploads:
+                uploads[bi] = _upload_chunk(ts)
+            if len(ts) == 1:
+                low_j, high_j = _run_frame(ts[0])
+                batch = (ts, low_j, high_j)
+            else:
+                lows, highs = _run_chunk(ts, uploads.pop(bi))
+                batch = (ts, lows, highs)
+            # Prefetch the next multi-frame batch's frames behind this
+            # batch's compute.
+            if bi + 1 < len(plan) and len(plan[bi + 1]) > 1:
+                uploads[bi + 1] = _upload_chunk(plan[bi + 1])
             for a in batch[1:]:
                 try:
                     a.copy_to_host_async()
