@@ -84,6 +84,7 @@ def main() -> None:
             # allocate 19.8M > 16M — the per-tile live-set coefficient grows
             # past the heuristic's 2x beyond ~1400 px tiles).
             ("depth_only  ", 90, 90, 420, 28, 256),
+            ("textured    ", 90, 90, 420, 28, 256),
         ]
 
     poses = np.tile(np.eye(4, dtype=np.float32), (args.poses, 1, 1))
@@ -111,7 +112,22 @@ def main() -> None:
         fv = jnp.ones((nf,), bool)
         kk = jnp.asarray(k)
 
-        fn = lambda: rasterize(v, c, f, fv, p, kk, settings)
+        if label.strip() == "textured":
+            # Per-pixel atlas sampling (ops/texture.py): UV pass + lookup.
+            from freepose_tpu.ops.texture import render_textured
+
+            n_lon_v = n_lon
+            iv = np.arange(len(verts))
+            uvw = np.stack([
+                (iv % n_lon_v) / max(n_lon_v - 1, 1),
+                (iv // n_lon_v) / max(n_lat, 1),
+                np.ones(len(verts)),
+            ], axis=1).astype(np.float32)
+            tex = jnp.asarray(rng.random((1024, 1024, 3)).astype(np.float32))
+            uvj = jnp.asarray(uvw)
+            fn = lambda: render_textured(v, uvj, f, fv, p, kk, tex, settings)
+        else:
+            fn = lambda: rasterize(v, c, f, fv, p, kk, settings)
         rgb, depth = fn()
         np.asarray(depth).reshape(-1)[:1]
         t0 = time.perf_counter()

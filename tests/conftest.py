@@ -21,3 +21,59 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+
+# ---------------------------------------------------------------------------
+# Test tiers: `pytest -m quick` is the fast gate (< 2 min on one CPU core);
+# everything else is the heavy parity/integration tier (`-m slow`). Tiering
+# is by module: the slow set is every module that builds a full foundation
+# model, runs torch twins, or shells out to CLIs.
+# ---------------------------------------------------------------------------
+import pytest  # noqa: E402
+
+_SLOW_MODULES = {
+    "test_attention",          # pallas interpret-mode kernels
+    "test_bert",
+    "test_cli_conformance",    # ~25 subprocess --help runs (jax import each)
+    "test_cli_slice",
+    "test_cli_video_slice",
+    "test_clip",
+    "test_convert_fixtures",
+    "test_cotracker",
+    "test_cotracker2",
+    "test_dinov2",
+    "test_eval_parity",
+    "test_fine_cache",
+    "test_grounding_dino",
+    "test_grounding_dino_parity",
+    "test_multi_object",
+    "test_multiprocess_scheduler",
+    "test_online_estimator",
+    "test_sam2_automatic",
+    "test_sam2_hiera",
+    "test_sam2_image",
+    "test_sam2_memory",
+    "test_sam2_predictor",
+    "test_sam2_sharded",
+    "test_sam2_stride",
+    "test_sam2_video",
+    "test_swin",
+    "test_tracking_refiner",
+    "test_zoedepth",
+    # demoted by measured duration (the quick tier must stay < 2 min):
+    "test_knn_sampling",
+    "test_pose_estimator",
+    "test_rasterizer",
+    "test_scale_estimator",
+    "test_video_loader",
+    "test_zoom_renders",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        module = item.fspath.purebasename
+        if module in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.quick)
