@@ -30,7 +30,7 @@ def make_args(**kw):
     import types
 
     d = dict(tiny=False, frames=24, warmup=6, deg_per_frame=2.0,
-             no_chain=False, auto_bucket=16)
+             no_chain=False, auto_bucket=16, sam2_chunk=8)
     d.update(kw)
     return types.SimpleNamespace(**d)
 
@@ -47,6 +47,7 @@ def main() -> None:
         "AutoRefineChain (device-resident cache, back-to-back enqueue)",
     )
     ap.add_argument("--auto-bucket", type=int, default=16)
+    ap.add_argument("--sam2-chunk", type=int, default=8)
     run_e2e_bench(ap.parse_args())
 
 
@@ -179,7 +180,7 @@ def run_e2e_bench(args) -> dict:
           f"{len(faces)}-face mesh, fine grid {n_fine}")
 
     ms = lambda a: 1e3 * float(np.mean(a))
-    gen = pred.propagate_in_video(vstate, binarize=True)
+    gen = pred.propagate_in_video(vstate, binarize=True, chunk=args.sam2_chunk)
     if args.no_chain:
         t_sam, t_ref, t_tot = [], [], []
         for i, prev in enumerate(traj[:n_total]):
