@@ -100,8 +100,9 @@ def _bake_texture_to_vertices(
     x = np.clip((u * (tw - 1)).round().astype(np.int64), 0, tw - 1)
     y = np.clip(((1.0 - v) * (th - 1)).round().astype(np.int64), 0, th - 1)
     rgb = texture[y, x, :3].astype(np.float32)
-    if rgb.max() > 1.5:
-        rgb = rgb / 255.0
+    if np.issubdtype(texture.dtype, np.integer):
+        rgb = rgb / 255.0  # dtype, not value, decides: a near-black uint8
+        # texture (all texels <= 1) would otherwise pass through unscaled
     return rgb
 
 
@@ -225,8 +226,8 @@ def load_obj(path: str | Path, load_texture: bool = True) -> TriMesh:
         # Keep wrapped UVs + the texture: the rasterizer samples it per
         # pixel (ops/texture.py); the bake above stays the fallback.
         tex = mtl_texture[..., :3].astype(np.float32)
-        if tex.max() > 1.5:
-            tex = tex / 255.0
+        if np.issubdtype(mtl_texture.dtype, np.integer):
+            tex = tex / 255.0  # branch on dtype, not max value
         return TriMesh(
             vertices, faces_arr, vertex_colors,
             uv=np.concatenate([uv, uvw[:, 2:3]], axis=1).astype(np.float32),
@@ -404,7 +405,9 @@ def decimate_vertex_clustering(mesh: TriMesh, target_faces: int, iters: int = 8)
     for _ in range(iters):
         keys = np.floor((mesh.vertices - lo) / max(cell, 1e-12)).astype(np.int64)
         flat = keys[:, 0] * 73856093 ^ keys[:, 1] * 19349663 ^ keys[:, 2] * 83492791
-        uniq, inverse = np.unique(flat, return_inverse=True)
+        uniq, first_member, inverse = np.unique(
+            flat, return_index=True, return_inverse=True
+        )
         n_clusters = len(uniq)
         # Cluster centroids (and colors).
         counts = np.bincount(inverse, minlength=n_clusters).astype(np.float32)
@@ -419,10 +422,10 @@ def decimate_vertex_clustering(mesh: TriMesh, target_faces: int, iters: int = 8)
                 for c in range(3)
             ], axis=1) / counts[:, None]
         if mesh.uv is not None:
-            uv = (np.stack([
-                np.bincount(inverse, weights=mesh.uv[:, c], minlength=n_clusters)
-                for c in range(3)
-            ], axis=1) / counts[:, None]).astype(np.float32)
+            # A representative member's uv per cluster, NOT the average:
+            # when a grid cell merges vertices from different UV islands the
+            # averaged coordinate lands on an unrelated texel.
+            uv = mesh.uv[first_member].astype(np.float32)
         faces = inverse[mesh.faces]
         nondegenerate = (
             (faces[:, 0] != faces[:, 1]) & (faces[:, 1] != faces[:, 2]) & (faces[:, 0] != faces[:, 2])

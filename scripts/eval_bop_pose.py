@@ -46,10 +46,23 @@ def _load_mesh_any(path_obj: Path, path_ply: Path):
 
 
 def _true_diameter(verts: np.ndarray) -> float:
-    """Max pairwise vertex distance (the models_info 'diameter' definition)."""
+    """Max pairwise vertex distance (the models_info 'diameter' definition).
+    The diameter is realized on the convex hull, so reducing to hull vertices
+    is EXACT (unlike strided subsampling, which can underestimate it)."""
     v = np.asarray(verts, np.float64)
-    if len(v) > 2000:  # subsample for huge meshes; diameter is robust to it
-        v = v[:: len(v) // 2000]
+    if len(v) > 2000:
+        try:
+            from scipy.spatial import ConvexHull
+
+            v = v[ConvexHull(v).vertices]
+        except Exception:  # degenerate (coplanar) inputs: keep all vertices
+            pass
+    if len(v) > 4000:  # pathological hulls: chunk the pairwise pass
+        best = 0.0
+        for i in range(0, len(v), 2000):
+            d2 = ((v[i : i + 2000, None] - v[None]) ** 2).sum(-1)
+            best = max(best, float(d2.max()))
+        return float(np.sqrt(best))
     d2 = ((v[:, None] - v[None]) ** 2).sum(-1)
     return float(np.sqrt(d2.max()))
 
@@ -64,9 +77,11 @@ def main() -> None:
     ap.add_argument("--errors", nargs="+", default=["cus", "chamfer", "chamfer_proj"],
                     help="any of cus chamfer chamfer_proj vsd mssd mspd")
     ap.add_argument("--n-points", type=int, default=2000, help="surface samples per mesh")
-    ap.add_argument("--points", choices=["surface", "vertices"], default="surface",
-                    help="mesh point set for distance errors; the reference "
-                    "toolkit uses raw vertices (eval_calc_errors.py:204-207)")
+    ap.add_argument("--points", choices=["surface", "vertices"], default="vertices",
+                    help="mesh point set for distance errors; 'vertices' is "
+                    "reference-exact (the toolkit uses raw vertices, "
+                    "eval_calc_errors.py:204-207); 'surface' draws one "
+                    "fixed-seed area-weighted sample set per mesh")
     ap.add_argument("--targets", default=None,
                     help="test_targets_bop19.json (scene_id/im_id/obj_id/"
                     "inst_count); default = every GT class of every frame")
@@ -127,10 +142,17 @@ def main() -> None:
     class_errors = {err: [] for err in err_cols}
     need_renderer = bool({"cus", "vsd"} & set(args.errors))
 
+    points_cache: dict = {}  # id(mesh) -> one fixed-seed sample set
+
     def _points(mesh):
         if args.points == "vertices":
             return np.asarray(mesh.vertices)
-        return mesh.sample_surface(args.n_points)
+        # One sample set per mesh (fixed seed): repeated runs and every
+        # (estimate, GT) pair over the same mesh reuse identical points.
+        key = id(mesh)
+        if key not in points_cache:
+            points_cache[key] = mesh.sample_surface(args.n_points, seed=0)
+        return points_cache[key]
 
     shard = get_shard(args)
     for idx in shard.slice(len(dataset)):

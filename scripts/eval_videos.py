@@ -20,12 +20,36 @@ from freepose_tpu.io.bop_csv import read_results_csv
 
 GT_SCALE = 0.15
 
-# Canonical 32-video benchmark (reference eval_videos.py:118-151).
+# Canonical 32-video benchmark set (reference eval_videos.py:118-151).
 DEFAULT_VIDEOS = [
-    "bowl_place", "bowl_place_sideways", "bowl_push_left", "bowl_push_right",
-    "campbells_in_hand_trans", "campbells_place", "campbells_push_left",
-    "campbells_push_right", "campbells_rotate_in_hand", "cups_back_forth",
-    "jug_push", "juice_back_forth", "pour_sideways", "pour_towards", "spoons_mix",
+    "bowl1", "bowl2", "bowl3", "bowl4", "bowl5", "bowl6", "bowl7",
+    "campbells1", "campbells2", "campbells3", "campbells4",
+    "cups", "jug", "juice",
+    "pour_268", "pour_805", "pour_2100", "pour_2257", "pour_2866",
+    "pour_4168", "pour_4711",
+    "pour_from_7369", "pour_from_8021", "pour_from_10591",
+    "pour_in_1110", "pour_in_10109",
+    "pour_into_1771", "pour_into_6685",
+    "pour_onto_10437", "pour_into_8625", "pour_onto_8316",
+    "spoons",
+]
+
+# Default method labels + CSV filename patterns (reference
+# eval_videos.py:240-256): the paper's comparison table — MegaPose
+# coarse/fine, GigaPose, FoundPose, and this pipeline's coarse/fine outputs.
+DEFAULT_METHODS = [
+    ("MegaPose coarse",
+     "props-ground-box-0.2-text-0.2-ffa-22-top-25_{video}_gpt4_scaled_best_"
+     "object_megapose_coarse.csv"),
+    ("MegaPose fine",
+     "props-ground-box-0.2-text-0.2-ffa-22-top-25_{video}_gpt4_scaled_best_"
+     "object_megapose_coarse_ref.csv"),
+    ("GigaPose", "gigapose_{video}_rescaled.csv"),
+    ("FoundPose", "foundpose_{video}_rescaled.csv"),
+    ("Ours coarse",
+     "props-ground-box-0.2-text-0.2-ffa-22-top-25_{video}_gpt4_scaled_best_"
+     "object_dinopose_layer_22_bbext_0.05_depth_zoedepth.csv"),
+    ("Ours fine", "{video}-tracked.csv"),
 ]
 
 
@@ -54,20 +78,34 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--gt-dir", required=True, help="dir of {video}_poses_id{n}.npy GT files")
     ap.add_argument("--results-dir", required=True)
-    ap.add_argument("--methods", nargs="+", required=True,
-                    help="name=pattern pairs; pattern contains {video}")
-    ap.add_argument("--videos", nargs="*", default=None)
+    ap.add_argument("--methods", nargs="+", default=None,
+                    help="name=pattern pairs; pattern contains {video} "
+                    "(default: the paper's 6 comparison methods, reference "
+                    "eval_videos.py:240-256)")
+    ap.add_argument("--videos", nargs="*", default=None,
+                    help="video names (default: the canonical 32-video set, "
+                    "reference eval_videos.py:118-151)")
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--out-dir", default=".")
     args = ap.parse_args()
 
     gt_files = sorted(Path(args.gt_dir).glob("*_poses_id*.npy"))
-    videos = args.videos or sorted({f.name.split("_poses_id")[0] for f in gt_files})
+    # Default to the canonical 32-video benchmark set, restricted to videos
+    # with GT on disk (the reference asserts all 32 exist; a partial GT tree
+    # evaluates its subset).
+    if args.videos:
+        videos = args.videos
+    else:
+        on_disk = {f.name.split("_poses_id")[0] for f in gt_files}
+        videos = [v for v in DEFAULT_VIDEOS if v in on_disk] or sorted(on_disk)
+    if args.methods:
+        methods = [tuple(s.split("=", 1)) for s in args.methods]
+    else:
+        methods = DEFAULT_METHODS
 
-    tables = {m: {"rot": {}, "proj": {}, "depth": {}} for m in [s.split("=")[0] for s in args.methods]}
-    for spec in args.methods:
-        name, pattern = spec.split("=", 1)
+    tables = {m: {"rot": {}, "proj": {}, "depth": {}} for m in [n for n, _ in methods]}
+    for name, pattern in methods:
         for video in videos:
             gt_matches = [f for f in gt_files if f.name.startswith(video + "_poses_id")]
             if not gt_matches:

@@ -56,7 +56,8 @@ def detect(args, entry):
         # All boxes decode as ONE batched prompt set (prompts are independent
         # in the mask decoder; batched == per-box verified in tests).
         m, _, _ = predictor.predict(
-            box=np.asarray(boxes), multimask_output=False, return_logits=False
+            box=np.asarray(boxes), multimask_output=False, return_logits=False,
+            fetch_low_res_logits=False,  # skip the PxMx256KB device->host fetch
         )
         return m[:, 0], np.asarray(boxes), np.asarray(det_scores)
     raise ValueError(args.detector)

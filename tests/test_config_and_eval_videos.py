@@ -26,6 +26,35 @@ def test_config_roundtrip(tmp_path):
     assert PipelineConfig.load(tmp_path / "cfg.json") == cfg
 
 
+def test_canonical_video_set_matches_reference():
+    """The default video list IS the reference's canonical 32-video benchmark
+    (reference scripts/eval_videos.py:118-151) and the default method
+    patterns are the paper's 6 comparison methods (:240-256)."""
+    import ast
+    import re
+
+    from scripts.eval_videos import DEFAULT_METHODS, DEFAULT_VIDEOS
+
+    assert len(DEFAULT_VIDEOS) == 32
+    assert len(DEFAULT_METHODS) == 6
+    assert [n for n, _ in DEFAULT_METHODS] == [
+        "MegaPose coarse", "MegaPose fine", "GigaPose", "FoundPose",
+        "Ours coarse", "Ours fine",
+    ]
+    ref = Path("/root/reference/scripts/eval_videos.py")
+    if not ref.exists():
+        import pytest
+
+        pytest.skip("reference tree not present")
+    src = ref.read_text()
+    m = re.search(r"video_names = (\[[^\]]*\])", src)
+    assert m, "reference video_names list not found"
+    assert DEFAULT_VIDEOS == ast.literal_eval(m.group(1))
+    m = re.search(r"args\.patterns = (\[[^\]]*\])", src)
+    assert m, "reference default patterns not found"
+    assert [p for _, p in DEFAULT_METHODS] == ast.literal_eval(m.group(1))
+
+
 def test_eval_videos_cli(tmp_path):
     n = 24
     rng = np.random.default_rng(0)
