@@ -53,15 +53,24 @@ VIT_TEST = DinoV2Config(hidden_size=64, num_layers=3, num_heads=4, image_size=56
 
 class _ScanBlock(nn.Module):
     """One transformer block inside an nn.scan roll: advances the residual
-    stream and snapshots it at the requested truncation layer. Rolling the
-    depth keeps the compiled graph one block long (compile time ~L× smaller)
-    and makes `layer` a runtime value instead of a static recompile axis."""
+    stream and (with capture=True) snapshots it at the requested truncation
+    layer. Rolling the depth keeps the compiled graph one block long (compile
+    time ~L× smaller). capture=False is the fast path used when the scan
+    length already EQUALS the truncation layer (params pre-sliced — the
+    production _extract_jit route): the final carry IS the requested output,
+    and the per-step jnp.where snapshot would copy the full [B, N, D]
+    activation twice per layer for nothing (profiled at ~10% of the ViT-L
+    featurize step). Both variants build the identical "block" param tree."""
 
     config: DinoV2Config
+    capture: bool = True
 
     @nn.compact
     def __call__(self, carry, _):
-        x, captured, idx, target = carry
+        if self.capture:
+            x, captured, idx, target = carry
+        else:
+            x = carry
         cfg = self.config
         attention_fn = None
         if cfg.use_flash:
@@ -72,6 +81,8 @@ class _ScanBlock(nn.Module):
             cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio, layerscale=True,
             dtype=cfg.dtype, attention_fn=attention_fn, name="block",
         )(x)
+        if not self.capture:
+            return x, None
         captured = jnp.where(idx + 1 == target, x, captured)
         return (x, captured, idx + 1, target), None
 
@@ -121,14 +132,25 @@ class DinoV2(nn.Module):
             axis=1,
         )
 
-        scanned = nn.scan(
-            _ScanBlock,
-            variable_axes={"params": 0},
-            split_rngs={"params": True},
-            length=cfg.num_layers,
-        )(cfg, name="blocks")
-        carry0 = (tokens, tokens, jnp.int32(0), jnp.asarray(n_layers, jnp.int32))
-        (_, captured, _, _), _ = scanned(carry0, None)
+        if n_layers == cfg.num_layers:
+            # Scan length == requested layer (params pre-sliced): final carry
+            # is the output — no per-step snapshot copies.
+            scanned = nn.scan(
+                _ScanBlock,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=cfg.num_layers,
+            )(cfg, capture=False, name="blocks")
+            captured, _ = scanned(tokens, None)
+        else:
+            scanned = nn.scan(
+                _ScanBlock,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=cfg.num_layers,
+            )(cfg, name="blocks")
+            carry0 = (tokens, tokens, jnp.int32(0), jnp.asarray(n_layers, jnp.int32))
+            (_, captured, _, _), _ = scanned(carry0, None)
         return nn.LayerNorm(epsilon=1e-6, dtype=cfg.dtype, name="norm")(captured)
 
 
@@ -160,9 +182,40 @@ class DinoFeatureExtractor:
             dummy = jnp.zeros((1, 3, config.patch_size * 2, config.patch_size * 2), config.dtype)
             params = self.model.init(jax.random.PRNGKey(seed), dummy)["params"]
         self.params = jax.tree.map(jnp.asarray, params)
+        self._params_cache: dict = {}
 
     def __call__(self, images: jax.Array, layer: int = 22, feature_type: str = "patch") -> jax.Array:
-        return _extract_jit(self, self.params, images, layer, feature_type)
+        return _extract_jit(self, self.params_for(layer), images, layer, feature_type)
+
+    def params_for(self, layer: int | None = None):
+        """Sliced-to-`layer`, dtype-pre-cast param tree (cached per layer).
+
+        The in-graph slice of the [24, ...] stacked block params to
+        [layer, ...] PLUS their f32 -> compute-dtype conversion costs ~2-3 ms
+        of device time on EVERY dispatch at ViT-L scale (profiled); both are
+        pure functions of (params, layer, dtype), so they run once here and
+        the fused pipeline programs receive the ready tree. Casting matches
+        what flax does in-graph (modules promote params to `dtype` at use),
+        so numerics are identical; cls/reg/pos tokens stay f32 because the
+        model does THEIR f32 math (pos interpolation, cls+pos add) before
+        its explicit .astype."""
+        cache = self._params_cache
+        key = layer
+        if key not in cache:
+            cfg = self.config
+            params = self.params
+            if layer is not None and layer < cfg.num_layers:
+                params = dict(params)
+                params["blocks"] = jax.tree.map(lambda a: a[:layer], params["blocks"])
+            if cfg.dtype != jnp.float32:
+                params = dict(params)
+                for sub in ("blocks", "norm", "patch_embed"):
+                    if sub in params:
+                        params[sub] = jax.tree.map(
+                            lambda a: jnp.asarray(a, cfg.dtype), params[sub]
+                        )
+            cache[key] = params
+        return cache[key]
 
     def extract_sharded(self, images: jax.Array, layer: int = 22,
                         feature_type: str = "patch", mesh=None) -> jax.Array:
@@ -214,9 +267,11 @@ def _extract_jit(extractor, params, images, layer, feature_type):
     import dataclasses
 
     cfg = extractor.config
+    stored_depth = jax.tree.leaves(params["blocks"])[0].shape[0]
     if layer is not None and layer < cfg.num_layers:
-        params = dict(params)
-        params["blocks"] = jax.tree.map(lambda a: a[:layer], params["blocks"])
+        if stored_depth != layer:  # not pre-sliced by params_for
+            params = dict(params)
+            params["blocks"] = jax.tree.map(lambda a: a[:layer], params["blocks"])
         model = DinoV2(dataclasses.replace(cfg, num_layers=layer))
     else:
         model = extractor.model

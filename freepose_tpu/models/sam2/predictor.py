@@ -85,6 +85,13 @@ def _upsample_logits(logits: jax.Array, orig_hw: tuple[int, int]) -> jax.Array:
     return resize_bilinear(logits, orig_hw)
 
 
+@partial(jax.jit, static_argnames=("size",))
+def _prepare_mask_prompts(masks: jax.Array, size: int) -> jax.Array:
+    """[N, H, W] f32 binary masks -> [N, size, size] {0,1} f32 (bilinear
+    resize then >= 0.5, the reference add_new_mask resample)."""
+    return (resize_bilinear(masks, (size, size)) >= 0.5).astype(jnp.float32)
+
+
 @partial(jax.jit, static_argnames=("orig_hw",))
 def _threshold_and_pack(logits: jax.Array, orig_hw: tuple[int, int]) -> jax.Array:
     """Upsample -> threshold -> bit-pack in ONE program (a single dispatch
@@ -227,6 +234,23 @@ class Sam2VideoPredictor:
         self._init_step = jax.jit(
             jax.vmap(partial(_step, is_init=True), in_axes=(None, 0, None, None, None, None, None, 0, 0))
         )
+
+        def _step_mask(params, state, pyramid, raw_s2, pos_s2, frame_idx,
+                       num_frames, mask_inputs):
+            # Mask-prompt conditioning (reference add_new_mask ->
+            # _use_mask_as_output, sam2_video_predictor.py:309-378 +
+            # sam2_base.py:251-330): the given mask IS the frame's output and
+            # seeds the conditioning memory.
+            return self.model.apply(
+                {"params": params}, state=state, pyramid=pyramid, raw_s2=raw_s2,
+                pos_s2=pos_s2, frame_idx=frame_idx, num_frames=num_frames,
+                mask_inputs=mask_inputs, is_init=True,
+                method=Sam2VideoModel.track_step,
+            )
+
+        self._init_step_mask = jax.jit(
+            jax.vmap(_step_mask, in_axes=(None, 0, None, None, None, None, None, 0))
+        )
         self._track_step = jax.jit(
             jax.vmap(partial(_step, points=None, labels=None, is_init=False),
                      in_axes=(None, 0, None, None, None, None, None))
@@ -339,6 +363,7 @@ class Sam2VideoPredictor:
         arr = up.pop(frame_idx, None)
         if arr is None:
             arr = self._put_frame(state["frames"][frame_idx])
+        state["last_frame_dev"] = arr  # device_batches mode crops from it
         return arr
 
     def _prefetch_frame(self, state, frame_idx: int) -> None:
@@ -399,10 +424,46 @@ class Sam2VideoPredictor:
         state["n_objects"] = len(state["obj_ids"])
         return state
 
+    def add_new_mask(self, state, frame_idx: int, obj_id: int, mask: np.ndarray):
+        """Register an object with a binary MASK prompt (reference
+        sam2_video_predictor.py:309-378): the mask resizes to model
+        resolution (bilinear then >= 0.5, like the reference's antialiased
+        interpolate + threshold) and conditions the object's init step
+        through the mask-as-output path. Re-prompting replaces the object's
+        prompt like add_new_points_or_box."""
+        mask = np.asarray(mask)
+        if mask.dtype != bool:
+            mask = mask > 0
+        if obj_id in state["obj_ids"]:
+            idx = state["obj_ids"].index(obj_id)
+        else:
+            state["obj_ids"].append(obj_id)
+            idx = len(state["obj_ids"]) - 1
+        state["prompts"][idx] = (frame_idx, None, None, mask)
+        state["n_objects"] = len(state["obj_ids"])
+        return state
+
+    def propagate_batched(
+        self, state, start_frame_idx: int = 0, max_frames: int | None = None,
+        reverse: bool = False, non_overlap_masks: bool = False, chunk: int = 8,
+    ):
+        """DEVICE-RESIDENT propagation: yields (ts, lows [K, N, g4, g4] bool,
+        highs [K, N, H, W] bool, frames_dev [K, H, W, 3]) per batch — masks
+        are binarized on device and NEVER fetched to the host, and the
+        batch's uploaded frames are handed back so the fused mask -> bbox ->
+        crop coupling (pipeline.proposals.proposals_from_masks_video) can
+        build the refine chain's device-resident proposal crops with zero
+        extra transfers. The per-frame host traffic of the coupled video
+        pipeline reduces to the pose CSV row."""
+        return self.propagate_in_video(
+            state, start_frame_idx, max_frames, reverse, non_overlap_masks,
+            binarize=True, chunk=chunk, device_batches=True,
+        )
+
     def propagate_in_video(
         self, state, start_frame_idx: int = 0, max_frames: int | None = None,
         reverse: bool = False, non_overlap_masks: bool = False,
-        binarize: bool = False, chunk: int = 8,
+        binarize: bool = False, chunk: int = 8, device_batches: bool = False,
     ):
         """Generator over frames -> (frame_idx, obj_ids, low_res_masks
         [N, g4, g4], high_res_masks [N, H, W] at ORIGINAL resolution).
@@ -424,17 +485,23 @@ class Sam2VideoPredictor:
         n = state["n_objects"]
         if n == 0:
             raise ValueError("no objects added")
+        if device_batches and not binarize:
+            raise ValueError("device_batches yields bool masks; set binarize=True")
         num_frames = state["num_frames"]
         end = num_frames if max_frames is None else min(num_frames, start_frame_idx + max_frames)
 
-        # Objects group by PROMPT FRAME (the reference supports prompting
-        # different objects on different frames, sam2_video_predictor.py:167);
-        # each group is one vmapped stacked state, stepped once per frame.
-        # Objects not yet prompted at frame t emit no-object logits.
-        groups: dict[int, list[int]] = {}
+        # Objects group by (PROMPT FRAME, prompt KIND) — the reference
+        # supports prompting different objects on different frames
+        # (sam2_video_predictor.py:167) and with either point/box or mask
+        # prompts (add_new_mask); each group is one vmapped stacked state,
+        # stepped once per frame. Objects not yet prompted at frame t emit
+        # no-object logits.
+        groups: dict[tuple[int, str], list[int]] = {}
         for i in range(n):
-            groups.setdefault(state["prompts"][i][0], []).append(i)
-        prompt_frame = min(groups)
+            p = state["prompts"][i]
+            kind = "mask" if len(p) > 3 and p[3] is not None else "pts"
+            groups.setdefault((p[0], kind), []).append(i)
+        prompt_frame = min(k[0] for k in groups)
 
         # Object groups pad to a multiple of the mesh's data-axis size so the
         # per-object axis shards evenly; dummies carry no-prompt labels and
@@ -463,6 +530,27 @@ class Sam2VideoPredictor:
             lbl = jnp.asarray(np.stack(lbl_l))[:, None, None]
             return _shard_objects((pts, lbl))
 
+        def group_masks(idxs):
+            size = self.config.image_size
+            pad = (-len(idxs)) % n_shards
+            ms = [np.asarray(state["prompts"][i][3], np.float32) for i in idxs]
+            ms += [np.zeros_like(ms[0])] * pad
+            resized = _prepare_mask_prompts(jnp.asarray(np.stack(ms)), size)
+            return _shard_objects(resized[:, None])  # [n, 1, S, S]
+
+        def init_group(key, idxs, pyramid, pos_pyr, t):
+            if key[1] == "mask":
+                mk = group_masks(idxs)
+                return self._init_step_mask(
+                    self.params, group_states(idxs), pyramid, pyramid[2],
+                    pos_pyr[2], jnp.int32(t), jnp.int32(num_frames), mk,
+                )
+            pts, lbl = group_prompts(idxs)
+            return self._init_step(
+                self.params, group_states(idxs), pyramid, pyramid[2],
+                pos_pyr[2], jnp.int32(t), jnp.int32(num_frames), pts, lbl,
+            )
+
         def group_states(idxs):
             count = len(idxs) + (-len(idxs)) % n_shards
             return _shard_objects(
@@ -489,17 +577,11 @@ class Sam2VideoPredictor:
             # reference's default start, sam2_video_predictor.py:668-670)
             # tracks every object on every processed frame
             # (sam2_video_predictor.py:698-712 runs the full batch).
-            for pf in sorted(groups):
-                if pf == prompt_frame:
+            for key in sorted(groups):
+                if key[0] == prompt_frame:
                     continue  # initialised inside the sweep at t == start
-                idxs = groups[pf]
-                pyramid_pf, pos_pf = self._frame_pyramid(state, pf)
-                pts, lbl = group_prompts(idxs)
-                live[pf], _ = self._init_step(
-                    self.params, group_states(idxs), pyramid_pf,
-                    pyramid_pf[2], pos_pf[2], jnp.int32(pf),
-                    jnp.int32(num_frames), pts, lbl,
-                )
+                pyramid_pf, pos_pf = self._frame_pyramid(state, key[0])
+                live[key], _ = init_group(key, groups[key], pyramid_pf, pos_pf, key[0])
         else:
             order = range(prompt_frame, end)
 
@@ -535,23 +617,20 @@ class Sam2VideoPredictor:
             pyramid, pos = self._frame_pyramid(state, t)
             raw_s2, pos_s2 = pyramid[2], pos[2]
             outs: list[tuple[list[int], dict]] = []
-            if t in groups and t not in live:
-                idxs = groups[t]
-                pts, lbl = group_prompts(idxs)
-                live[t], out_g = self._init_step(
-                    self.params, group_states(idxs), pyramid, raw_s2, pos_s2,
-                    jnp.int32(t), jnp.int32(num_frames), pts, lbl,
-                )
-                outs.append((idxs, take_real(out_g, idxs)))
-            for pf in sorted(live):
-                if pf == t:
+            for key in sorted(groups):
+                if key[0] == t and key not in live:
+                    idxs = groups[key]
+                    live[key], out_g = init_group(key, idxs, pyramid, pos, t)
+                    outs.append((idxs, take_real(out_g, idxs)))
+            for key in sorted(live):
+                if key[0] == t:
                     continue  # just initialised this frame
                 step_fn = self._track_step_rev if reverse else self._track_step
-                live[pf], out_g = step_fn(
-                    self.params, live[pf], pyramid, raw_s2, pos_s2,
+                live[key], out_g = step_fn(
+                    self.params, live[key], pyramid, raw_s2, pos_s2,
                     jnp.int32(t), jnp.int32(num_frames)
                 )
-                outs.append((groups[pf], take_real(out_g, groups[pf])))
+                outs.append((groups[key], take_real(out_g, groups[key])))
 
             if len(outs) == 1 and len(outs[0][0]) == n:
                 low_raw = outs[0][1]["pred_masks"][:, 0]
@@ -574,7 +653,7 @@ class Sam2VideoPredictor:
             return postprocess_video_masks(
                 low_raw, high_raw,
                 state["orig_hw"], non_overlap_masks, binarize,
-                packbits=binarize,
+                packbits=binarize and not device_batches,
             )
 
         def _upload_chunk(ts):
@@ -603,7 +682,7 @@ class Sam2VideoPredictor:
                 tuple(jnp.asarray(groups[pf]) for pf in order_pfs),
                 sizes=tuple(len(groups[pf]) for pf in order_pfs), n_total=n,
                 reverse=reverse, non_overlap=non_overlap_masks,
-                binarize=binarize, packbits=binarize,
+                binarize=binarize, packbits=binarize and not device_batches,
                 orig_hw=state["orig_hw"],
             )
             for pf, st in zip(order_pfs, new_states):
@@ -617,20 +696,21 @@ class Sam2VideoPredictor:
         # program computes — the 8-frame upload is ~1 s through a remote
         # tunnel and fully hides behind the batch's device time.
         plan: list[list[int]] = []
-        live_keys = set(live)
+        prompt_frames = {k[0] for k in groups}
+        live_frames = {k[0] for k in live}
         i = 0
         while i < len(order_list):
             t = order_list[i]
-            if (t in groups and t not in live_keys) or chunk == 1 or not live_keys:
+            if (t in prompt_frames and t not in live_frames) or chunk == 1 or not live_frames:
                 plan.append([t])
-                if t in groups:
-                    live_keys.add(t)
+                if t in prompt_frames:
+                    live_frames.add(t)
                 i += 1
             else:
                 j = i
                 while (
                     j < len(order_list) and j - i < chunk
-                    and not (order_list[j] in groups and order_list[j] not in live_keys)
+                    and not (order_list[j] in prompt_frames and order_list[j] not in live_frames)
                 ):
                     j += 1
                 plan.append(order_list[i:j])
@@ -640,16 +720,27 @@ class Sam2VideoPredictor:
         for bi, ts in enumerate(plan):
             if len(ts) > 1 and bi not in uploads:
                 uploads[bi] = _upload_chunk(ts)
+            frames_b = None
             if len(ts) == 1:
                 low_j, high_j = _run_frame(ts[0])
+                if device_batches:
+                    frames_b = state["last_frame_dev"][None]
+                    low_j, high_j = low_j[None], high_j[None]
                 batch = (ts, low_j, high_j)
             else:
-                lows, highs = _run_chunk(ts, uploads.pop(bi))
+                frames_b = uploads.pop(bi)
+                lows, highs = _run_chunk(ts, frames_b)
+                frames_b = frames_b[: len(ts)]
                 batch = (ts, lows, highs)
             # Prefetch the next multi-frame batch's frames behind this
             # batch's compute.
             if bi + 1 < len(plan) and len(plan[bi + 1]) > 1:
                 uploads[bi + 1] = _upload_chunk(plan[bi + 1])
+            if device_batches:
+                # Device-resident mode: hand the batch (and its uploaded
+                # frames) straight to the consumer — nothing is fetched.
+                yield ts, batch[1], batch[2], frames_b
+                continue
             for a in batch[1:]:
                 try:
                     a.copy_to_host_async()

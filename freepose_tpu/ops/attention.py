@@ -22,8 +22,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 256
+DEFAULT_BLOCK_Q = 1024
+DEFAULT_BLOCK_K = 512
 NEG_INF = -1e30
 
 
@@ -72,6 +72,27 @@ def _kernel_squeeze(q_ref, k_ref, v_ref, o_ref, **kw):
     _flash_kernel(q_ref.at[0], k_ref.at[0], v_ref.at[0], o_ref.at[0], **kw)
 
 
+def _flash_kernel_single(q_ref, k_ref, v_ref, o_ref, *, scale: float, seq_len: int):
+    """Whole-KV variant: one (batch·head) program with ALL keys resident —
+    no online-softmax loop, no K/V block slicing, so the head dim can stay
+    NATIVE (Mosaic rejects pl.ds slices of sub-128-lane tiles; padding d
+    64 → 128 in HBM doubled K/V traffic and MXU work). Used when the f32
+    score tile [n, nk] fits VMEM — the ViT regime (n ≈ 905)."""
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    bq = q.shape[0]
+    nk_pad = k.shape[0]
+    logits = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    key_idx = jax.lax.broadcasted_iota(jnp.int32, (bq, nk_pad), 1)
+    logits = jnp.where(key_idx < seq_len, logits, NEG_INF)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
 def _pad_to(x: jax.Array, size: int, axis: int) -> jax.Array:
     pad = size - x.shape[axis]
     if pad <= 0:
@@ -100,10 +121,48 @@ def flash_attention(
     def _round16(x: int) -> int:  # bf16 sublane tile is 16
         return max(16, -(-x // 16) * 16)
 
+    # Whole-head q blocks up to 1024 rows: at ViT shapes (n ≈ 905) the grid
+    # collapses to one step per (batch·head) with K/V fetched ONCE — the old
+    # (b·h, n/256) grid re-read the full K/V per 256-row q block (4× HBM) and
+    # amortized per-step overhead poorly (profiled 1.16 ms/layer vs the
+    # ~0.35 ms roofline at ViT-L b=8).
     block_q = min(block_q, _round16(n))
-    block_k = min(block_k, _round16(nk))
     n_pad = -(-n // block_q) * block_q
-    nk_pad = -(-nk // block_k) * block_k
+    nk16 = _round16(nk)
+
+    # Whole-KV single-block regime (the ViT shape, n ≈ nk ≈ 905): one grid
+    # step per (batch·head), K/V fetched once, NATIVE head dim (64 pads only
+    # inside VMEM lanes — padding to 128 in HBM doubled K/V traffic and MXU
+    # work), no online-softmax loop. Profiled 1.16 ms/layer -> see
+    # bench_features; the old (b·h, n/256) grid re-read full K/V per q block.
+    if n_pad * nk16 * 4 <= (6 << 20) and n_pad == block_q:
+        qp = _pad_to(q, n_pad, 2).reshape(b * h, n_pad, d)
+        kp = _pad_to(k, nk16, 2).reshape(b * h, nk16, d)
+        vp = _pad_to(v, nk16, 2).reshape(b * h, nk16, d)
+        out = pl.pallas_call(
+            partial(_flash_kernel_single, scale=scale, seq_len=nk),
+            out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
+            grid=(b * h,),
+            in_specs=[
+                pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nk16, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nk16, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+            ),
+            interpret=interpret,
+        )(qp, kp, vp)
+        return out.reshape(b, h, n_pad, d)[:, :, :n]
+
+    # Streaming regime (large n·nk, e.g. Hiera global blocks at 4096 tokens):
+    # K blocks sized so the f32 score tile stays a few MB of VMEM, balanced
+    # to equal sizes covering nk with minimal padding. The block slicing
+    # needs full 128-lane tiles, so d pads to 128 here.
+    block_k = min(block_k, nk16)
+    block_k = _round16(-(-nk16 // max(1, -(-nk16 // block_k))))
+    nk_pad = -(-nk16 // block_k) * block_k
     d_pad = max(-(-d // 128) * 128, 128)
 
     qp = _pad_to(_pad_to(q, n_pad, 2), d_pad, 3).reshape(b * h, n_pad, d_pad)
@@ -121,6 +180,9 @@ def flash_attention(
             pl.BlockSpec((1, nk_pad, d_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, d_pad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
         interpret=interpret,
     )(qp, kp, vp)
     return out.reshape(b, h, n_pad, d_pad)[:, :, :n, :d]
@@ -187,7 +249,7 @@ def flash_attention_stream(
     v: jax.Array,
     scale: float,
     kv_mask: jax.Array | None = None,  # [B, Nk] bool; False = masked key
-    block_q: int = DEFAULT_BLOCK_Q,
+    block_q: int = 256,
     block_k: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
@@ -283,7 +345,7 @@ def flash_attention_bias(
     scale: float,
     bias: jax.Array,  # [H, N, Nk] additive logit bias, shared across batch
     kv_mask: jax.Array | None = None,
-    block_q: int = DEFAULT_BLOCK_Q,
+    block_q: int = 256,
     block_k: int = 512,
     interpret: bool = False,
 ) -> jax.Array:

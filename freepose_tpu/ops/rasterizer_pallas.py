@@ -130,11 +130,17 @@ def _bin_and_pack(vertices, colors, faces, face_valid, pose, k, settings, m):
         bb_min, bb_max, valid, grid, tile, m_sel, settings.binning
     )
 
-    a = tri_uv[top_idx][:, :, 0, :]  # [T, M, 2]
-    b = tri_uv[top_idx][:, :, 1, :]
-    c = tri_uv[top_idx][:, :, 2, :]
-    zs = tri_z[top_idx]  # [T, M, 3]
-    cols = colors[faces][top_idx]  # [T, M, 3, 3]
+    # Per-FACE attribute rows first (F ≈ 16k rows — cheap), then ONE packed
+    # [T, M, N_ATTRS] row gather. The previous form gathered tri_uv / tri_z /
+    # colors separately per (tile, slot) — three skinny-row gathers over
+    # T·M ≈ 58k rows per pose that profiled at ~1.9 ms/render (more than the
+    # raster kernel itself); full-row gathers are the TPU-friendly layout
+    # (same trick as grounding_dino.grid_sample_zeros_quad).
+    a = tri_uv[:, 0, :]  # [F, 2]
+    b = tri_uv[:, 1, :]
+    c = tri_uv[:, 2, :]
+    zs = tri_z  # [F, 3]
+    cols = colors[faces]  # [F, 3, 3]
 
     area = (b[..., 0] - a[..., 0]) * (c[..., 1] - a[..., 1]) - (
         b[..., 1] - a[..., 1]
@@ -142,7 +148,6 @@ def _bin_and_pack(vertices, colors, faces, face_valid, pose, k, settings, m):
     nondegen = jnp.abs(area) > 1e-12
     iz = 1.0 / jnp.maximum(zs, settings.znear)
 
-    rows = jnp.zeros((n_tiles, N_ATTRS, m), jnp.float32)
     r = _ROWS
     assign = {
         r["d0x"]: c[..., 0] - b[..., 0], r["d0y"]: c[..., 1] - b[..., 1],
@@ -154,15 +159,18 @@ def _bin_and_pack(vertices, colors, faces, face_valid, pose, k, settings, m):
         r["iza"]: iz[..., 0], r["izb"]: iz[..., 1], r["izc"]: iz[..., 2],
         r["sgn"]: jnp.sign(area), r["inv_area"]: jnp.where(nondegen, 1.0 / area, 0.0),
         r["eps"]: 1e-5 * jnp.abs(area),
-        r["valid"]: (sel_valid & nondegen).astype(jnp.float32),
+        r["valid"]: nondegen.astype(jnp.float32),  # per-tile AND below
     }
     if not settings.depth_only:
         for vi in range(3):
             for ci, ch in enumerate("rgb"):
-                assign[r[f"c{vi}{ch}"]] = cols[:, :, vi, ci]
-    stacked = jnp.stack(
-        [assign.get(i, jnp.zeros((n_tiles, m_sel))) for i in range(N_ATTRS)], axis=1
-    )
+                assign[r[f"c{vi}{ch}"]] = cols[:, vi, ci]
+    face_rows = jnp.stack(
+        [assign.get(i, jnp.zeros((faces.shape[0],))) for i in range(N_ATTRS)], axis=1
+    )  # [F, N_ATTRS]
+    gathered = face_rows[top_idx]  # [T, M', N_ATTRS] — one full-row gather
+    gathered = gathered.at[:, :, r["valid"]].multiply(sel_valid.astype(jnp.float32))
+    stacked = gathered.transpose(0, 2, 1)  # [T, N_ATTRS, M']
     if m_sel < m:  # pad faces to the lane multiple; padded lanes are invalid
         stacked = jnp.pad(stacked, ((0, 0), (0, 0), (0, m - m_sel)))
     origins = jnp.stack([tx, ty], axis=-1).astype(jnp.float32)
@@ -196,7 +204,12 @@ def rasterize_pallas(
 
     # k: [3, 3] shared or [P, 3, 3] per-pose (e.g. crop-zoomed intrinsics).
     ks = k if k.ndim == 3 else jnp.broadcast_to(k, (poses.shape[0], 3, 3))
-    attrs, origins = jax.lax.map(prologue, (poses, ks))  # [P, T, A, M], [P, T, 2]
+    # vmap, not lax.map: the prologue (projection + the binning SORT) is the
+    # dominant per-render cost at production face counts (bench_raster: 9.0
+    # ms/render at 16k faces vs 5.5 at 4k, nearly m-independent) and lax.map
+    # runs it once per pose SEQUENTIALLY, underutilizing the chip; vmap
+    # batches all P poses' sorts/top-ks into single ops.
+    attrs, origins = jax.vmap(prologue)((poses, ks))  # [P, T, A, M], [P, T, 2]
     p = poses.shape[0]
     attrs = attrs.reshape(p * n_tiles, N_ATTRS, m)
     origins = origins.reshape(p * n_tiles, 1, 2)

@@ -168,6 +168,35 @@ def _bicubic_axis_weights(in_size: int, out_size: int):
     return idx, w
 
 
+def _bicubic_axis_matrix(in_size: int, out_size: int) -> jax.Array:
+    """Dense [out, in] interpolation matrix with the 4-tap bicubic weights
+    scattered into rows (trace-time numpy — static shapes). Separable resize
+    then lowers to two MXU matmuls instead of gathers, which are scalar
+    loads on TPU (the gather form profiled ~1 ms per SAM2 trunk forward on
+    the 7×7 -> 256² positional-embedding upsample)."""
+    import numpy as np
+
+    # Pure numpy mirror of _bicubic_axis_weights (shapes are static, and this
+    # may run inside a jit trace where jnp values are tracers).
+    scale = in_size / out_size
+    dst = np.arange(out_size, dtype=np.float32)
+    src = (dst + 0.5) * scale - 0.5
+    base = np.floor(src).astype(np.int32)
+    frac = src - base
+    taps = np.arange(-1, 3)
+    yi = np.clip(base[:, None] + taps[None, :], 0, in_size - 1)  # [out, 4]
+    t = np.abs(frac[:, None] - taps[None, :].astype(np.float32))
+    a = -0.75  # torch bicubic coefficient
+    yw = np.where(
+        t <= 1.0,
+        (a + 2.0) * t**3 - (a + 3.0) * t**2 + 1.0,
+        np.where(t < 2.0, a * t**3 - 5.0 * a * t**2 + 8.0 * a * t - 4.0 * a, 0.0),
+    ).astype(np.float32)
+    mat = np.zeros((out_size, in_size), np.float32)
+    np.add.at(mat, (np.repeat(np.arange(out_size), 4), yi.reshape(-1)), yw.reshape(-1))
+    return jnp.asarray(mat)
+
+
 def resize_bicubic_torch(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     """Bicubic resize of [..., H, W] matching torch F.interpolate
     (mode='bicubic', align_corners=False, antialias=False). Used for the
@@ -175,11 +204,8 @@ def resize_bicubic_torch(img: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     (reference hieradet.py:265-273), where sub-1e-3 parity matters."""
     h, w = img.shape[-2], img.shape[-1]
     oh, ow = out_hw
-    yi, yw = _bicubic_axis_weights(h, oh)
-    xi, xw = _bicubic_axis_weights(w, ow)
+    wy = _bicubic_axis_matrix(h, oh)  # [oh, h]
+    wx = _bicubic_axis_matrix(w, ow)  # [ow, w]
     img_f = img.astype(jnp.float32)
-    # Gather 4 rows per output row: [..., oh, 4, W] -> weighted sum -> [..., oh, W]
-    g = img_f[..., yi, :]  # [..., oh, 4, W]
-    rows = jnp.einsum("...otw,ot->...ow", g, yw)
-    g2 = rows[..., :, xi]  # [..., oh, ow, 4]
-    return jnp.einsum("...owt,wt->...ow", g2, xw)
+    rows = jnp.einsum("oh,...hw->...ow", wy, img_f)
+    return jnp.einsum("pw,...ow->...op", wx, rows)

@@ -335,7 +335,7 @@ class OnlinePoseEstimator:
                 jnp.asarray(np.stack([p[1] for p in plans])),
                 tuple(self._padded_mesh(mi[2], mi[1]["mesh"]) for mi in misses),
                 self.renderer.k,
-                self.extractor.params,
+                self.extractor.params_for(self.feature_layer),
                 jnp.stack([jnp.asarray(mi[1]["proposal"]) for mi in misses]),
                 jnp.asarray(np.stack([mi[3].gather_slots(mi[4]) for mi in misses])),
                 jnp.asarray(np.stack([mi[5] for mi in misses])),
@@ -370,7 +370,7 @@ class OnlinePoseEstimator:
                 tuple(h[2].masks for h in hits),
                 tuple(h[2].stats for h in hits),
                 self.fine_poses,
-                self.extractor.params,
+                self.extractor.params_for(self.feature_layer),
                 jnp.stack([jnp.asarray(h[1]["proposal"]) for h in hits]),
                 jnp.asarray(np.stack([h[2].gather_slots(h[3]) for h in hits])),
                 jnp.asarray(np.stack([h[4] for h in hits])),
@@ -408,7 +408,7 @@ class OnlinePoseEstimator:
             # Fully fused: render + crop + featurize in ONE program.
             sel_poses, sel_idx, valid, render_feats, render_masks, stats = _refine_prepare_fused(
                 self.fine_poses, prev_pose, jnp.float32(neighborhood_deg),
-                v, c, f, fv, self.renderer.k, self.extractor.params,
+                v, c, f, fv, self.renderer.k, self.extractor.params_for(self.feature_layer),
                 self.renderer.settings, self.n_neighbors, self.renderer.pose_chunk,
                 self.renderer.resolution, self.extractor, self.feature_layer,
                 self.zoom_renders,
@@ -476,7 +476,7 @@ class OnlinePoseEstimator:
         sel_poses, sel_idx, valid, render_feats, render_masks, stats = (
             _refine_prepare_fused_sharded(
                 self.fine_poses, prev_pose, jnp.float32(neighborhood_deg),
-                v, c, f, fv, self.renderer.k, self.extractor.params,
+                v, c, f, fv, self.renderer.k, self.extractor.params_for(self.feature_layer),
                 self.renderer.settings, self.n_neighbors, self.renderer.pose_chunk,
                 self.renderer.resolution, self.extractor, self.feature_layer,
                 device_mesh, axis, self.zoom_renders,
@@ -642,7 +642,7 @@ class OnlinePoseEstimator:
                 cache.feats, cache.masks, cache.stats,
                 self.fine_poses, new_idx, write_slots,
                 v, c, f, fv, self.renderer.k,
-                self.extractor.params, proposal,
+                self.extractor.params_for(self.feature_layer), proposal,
                 gather, valid, sel_idx, pmask,
                 kq, bboxq, scaleq,
                 settings=self.renderer.settings,
@@ -656,7 +656,7 @@ class OnlinePoseEstimator:
             tcos, score, local, qf = cached_refine_hit(
                 cache.feats, cache.masks, cache.stats,
                 self.fine_poses,
-                self.extractor.params, proposal,
+                self.extractor.params_for(self.feature_layer), proposal,
                 gather, valid, sel_idx, pmask,
                 kq, bboxq, scaleq,
                 **common,
@@ -914,7 +914,7 @@ class CachedRefineChain:
         est, cache = self.est, self._cache
         packed, nxt = cached_refine_hit_chain(
             cache.feats, cache.masks, cache.stats, est.fine_poses,
-            cache.slot_table, self._prev_idx_dev, est.extractor.params,
+            cache.slot_table, self._prev_idx_dev, est.extractor.params_for(est.feature_layer),
             inputs[0], inputs[1], inputs[2], inputs[3], inputs[4],
             extractor=est.extractor, layer=est.feature_layer,
             resolution=est.renderer.resolution, mask_scores=self.mask_scores,
@@ -1044,7 +1044,7 @@ class AutoRefineChain:
             prev2 = prev_pose
         self.state, packed, pose = cached_refine_auto_step(
             self.state, est.fine_poses, prev_pose, prev2,
-            v, c, f, fv, est.renderer.k, est.extractor.params,
+            v, c, f, fv, est.renderer.k, est.extractor.params_for(est.feature_layer),
             inputs[0], inputs[1], inputs[2], inputs[3], inputs[4],
             extractor=est.extractor, layer=est.feature_layer,
             settings=est.renderer.settings, pose_chunk=est.renderer.pose_chunk,

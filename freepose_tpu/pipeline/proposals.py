@@ -79,6 +79,43 @@ def extract_proposals(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("target_size", "bbox_extend"))
+def proposals_from_masks_video(
+    frames: jax.Array,  # [K, H, W, 3] uint8/float frames (device-resident)
+    masks: jax.Array,  # [K, H, W] bool (e.g. a SAM2 propagation chunk output)
+    target_size: int = 420,
+    bbox_extend: float = 0.2,
+):
+    """Device-coupled mask -> bbox -> crop_resize_pad for a batch of video
+    frames, ONE program: the refine chain consumes these device-resident
+    proposals directly from the SAM2 propagation output — no per-frame mask
+    fetch or host re-upload (the reference flow materializes masks to disk
+    between extract_proposals_ground_video and dino_inference_video;
+    dino_inference_video.py:150-155 re-uploaded host masks each frame).
+
+    Returns (crops [K, 3, T, T] f32, mask crops [K, T, T] bool,
+    bboxes [K, 4] f32). Per-frame results equal extract_proposals on the
+    host mask/bbox (parity-tested). Empty masks fall back to a centred
+    half-frame box (degenerate-detection guard)."""
+    from freepose_tpu.geometry.boxes import mask_to_bbox
+
+    kf, h, w = masks.shape
+    bboxes = jax.vmap(mask_to_bbox)(masks).astype(jnp.float32)
+    empty = ~jnp.any(masks.reshape(kf, -1), axis=1)
+    fallback = jnp.asarray([w * 0.25, h * 0.25, w * 0.75, h * 0.75], jnp.float32)
+    bboxes = jnp.where(empty[:, None], fallback[None], bboxes)
+    img = frames.astype(jnp.float32)
+    if frames.dtype == jnp.uint8:
+        img = img / 255.0
+    chw = img.transpose(0, 3, 1, 2)  # [K, 3, H, W]
+    rgb = jnp.where(masks[:, None], chw, 0.0)
+    crops = crop_resize_pad(rgb, bboxes, target_size, extend=bbox_extend)
+    mask_crops = crop_resize_pad(
+        masks[:, None].astype(jnp.float32), bboxes, target_size, extend=bbox_extend
+    )[:, 0] > 0.5
+    return crops, mask_crops, bboxes
+
+
 def retrieve_topk(
     image: jax.Array,  # [H, W, 3]
     masks: jax.Array,  # [N, H, W] bool
@@ -103,7 +140,7 @@ def retrieve_topk(
         masks = jnp.concatenate([masks, jnp.zeros((n_pad - n,) + masks.shape[1:], masks.dtype)])
         boxes = jnp.concatenate([boxes, jnp.tile(boxes[-1:], (n_pad - n, 1))])
     scores, idx, feats = _retrieve_fused_jit(
-        image, masks, boxes, bank, extractor.params,
+        image, masks, boxes, bank, extractor.params_for(layer),
         target_size=target_size, bbox_extend=bbox_extend, extractor=extractor,
         layer=layer, feature_type=feature_type, k=k,
     )

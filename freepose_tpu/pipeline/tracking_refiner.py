@@ -152,7 +152,7 @@ class TrackingRefiner:
         if self.extractor is not None:
             return np.asarray(_confidence_batch_fused(
                 v, c, f, valid, pts, jnp.asarray(frames), k, poses,
-                self.extractor.params, self.settings, self.extractor,
+                self.extractor.params_for(self.feature_layer), self.settings, self.extractor,
                 self.feature_layer,
             ))
         frames = self._to_float(frames)

@@ -131,15 +131,36 @@ def main() -> None:
     all_scores: dict[str, list] = {}  # --no-rescore: mesh_id -> [V] per frame
     import jax
 
+    def _frame_masks(f):
+        """Next frame's proposal masks/bboxes as device uploads (masks decode
+        from RLE on host, then one async device_put — prefetched a frame
+        ahead so the ~1 MB/frame mask upload overlaps compute instead of
+        stalling the refine dispatch, the re-upload VERDICT flagged at
+        dino_inference_video.py:150-155)."""
+        plist = by_frame.get(f, [])
+        if not plist:
+            return None
+        masks_np = np.stack([proposal_mask(p) for p in plist])
+        bboxes_np = np.stack(
+            [proposal_bbox_xyxy(p).astype(np.float32) for p in plist]
+        )
+        return jax.device_put(masks_np), np.asarray(bboxes_np)
+
+    mask_dev: dict[int, object] = {}
     for f in range(len(frames)):
         frame_f = frame_dev.pop(f, None)
         if frame_f is None:
             frame_f = jnp.asarray(frames[f])
+        masks_f = mask_dev.pop(f, None)
+        if masks_f is None:
+            masks_f = _frame_masks(f)
         if f + 1 < len(frames):
-            # Start next frame's host->device copy so it overlaps this
+            # Start next frame's host->device copies so they overlap this
             # frame's compute (device_put is asynchronous).
             frame_dev.clear()
             frame_dev[f + 1] = jax.device_put(frames[f + 1])
+            mask_dev.clear()
+            mask_dev[f + 1] = _frame_masks(f + 1)
         frame_objs: list[dict] = []  # rescore objects, batched per frame
         frame_meta: list[tuple] = []
         t_frame = time.perf_counter()
@@ -147,12 +168,9 @@ def main() -> None:
         if plist:
             # One crop batch for all of the frame's objects (they share the
             # image; extract_proposals is batched over proposals).
-            masks_np = np.stack([proposal_mask(p) for p in plist])
-            bboxes_np = np.stack(
-                [proposal_bbox_xyxy(p).astype(np.float32) for p in plist]
-            )
+            masks_up, bboxes_np = masks_f
             frame_props = extract_proposals(
-                frame_f, jnp.asarray(masks_np), jnp.asarray(bboxes_np),
+                frame_f, masks_up, jnp.asarray(bboxes_np),
                 target_size=420, bbox_extend=0.2,
             )
         for i, p in enumerate(plist):

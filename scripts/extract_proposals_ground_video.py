@@ -48,6 +48,13 @@ def load_video_predictor(args):
                 points=jnp.zeros((1, 1, cfg.max_point_prompts, 2)),
                 labels=jnp.full((1, 1, cfg.max_point_prompts), -10, jnp.int32), is_init=True,
             )
+            # Also trace the MASK-prompt branch (mask_downsample + the prompt
+            # encoder's mask path) so add_new_mask works on random init.
+            st, _ = mdl.track_step(
+                st, pyramid, pyramid[2], pos[2], jnp.int32(0), jnp.int32(2),
+                mask_inputs=jnp.zeros((1, cfg.image_size, cfg.image_size)),
+                is_init=True,
+            )
             return mdl.track_step(st, pyramid, pyramid[2], pos[2], jnp.int32(1), jnp.int32(2))
 
         params = model.init(
