@@ -341,28 +341,42 @@ class PointTracker:
         """video [T, H, W, 3] uint8/float; queries [N, 2] (x, y) pixels.
         -> (tracks [T, N, 2], visibility [T, N] bool). Bidirectional
         (backward_tracking=True in the reference)."""
-        v = jnp.asarray(video, jnp.float32)
-        if video.dtype == np.uint8:
-            v = v / 255.0
-        q = jnp.asarray(queries, jnp.float32)
         if self.mode == "learned":
+            v = jnp.asarray(video, jnp.float32)
+            if np.asarray(video).dtype == np.uint8:
+                v = v / 255.0
+            q = jnp.asarray(queries, jnp.float32)
             tracks, vis = self.model.apply({"params": self.params}, v, q, query_frame)
             return np.asarray(tracks), np.asarray(vis) > 0.5
+        tracks, scores = self.track_device(video, queries, query_frame)
+        return np.asarray(tracks), np.asarray(scores) > 0.5
+
+    def track_device(self, video, queries, query_frame: int = 0):
+        """ZNCC tracking with DEVICE-resident inputs/outputs: accepts jnp or
+        np video/queries, uploads uint8 frames raw (normalizing on device —
+        4x fewer host->device bytes than a host float conversion), and
+        returns (tracks [T, N, 2] f32, scores [T, N] f32) as device arrays —
+        callers can enqueue several intervals back-to-back and fetch later
+        (the pipelined smooth_poses path). track() is the fetch wrapper."""
+        v = jnp.asarray(video)
+        if v.dtype == jnp.uint8:
+            v = v.astype(jnp.float32) / 255.0
+        else:
+            v = v.astype(jnp.float32)
+        q = jnp.asarray(queries, jnp.float32)
         # ZNCC patch chaining, forward then backward from the query frame —
         # each direction is ONE lax.scan program (the frame-to-frame
         # dependency lives in the scan carry), not T-1 dispatches with a
         # host round trip each.
         t = v.shape[0]
-        tracks = np.zeros((t, q.shape[0], 2), np.float32)
-        scores = np.zeros((t, q.shape[0]), np.float32)
-        tracks[query_frame] = np.asarray(q)
-        scores[query_frame] = 1.0
+        parts_tr = [q[None]]
+        parts_sc = [jnp.ones((1, q.shape[0]), jnp.float32)]
         if query_frame < t - 1:
-            tr, sc = _track_chain(v[query_frame:], q)
-            tracks[query_frame + 1 :] = np.asarray(tr)
-            scores[query_frame + 1 :] = np.asarray(sc)
+            tr_f, sc_f = _track_chain(v[query_frame:], q)
+            parts_tr.append(tr_f)
+            parts_sc.append(sc_f)
         if query_frame > 0:
-            tr, sc = _track_chain(v[query_frame::-1], q)
-            tracks[:query_frame] = np.asarray(tr)[::-1]
-            scores[:query_frame] = np.asarray(sc)[::-1]
-        return tracks, scores > 0.5
+            tr_b, sc_b = _track_chain(v[query_frame::-1], q)
+            parts_tr.insert(0, tr_b[::-1])
+            parts_sc.insert(0, sc_b[::-1])
+        return jnp.concatenate(parts_tr), jnp.concatenate(parts_sc)

@@ -42,6 +42,90 @@ def predict_interval(refiner, mesh, frames, k, start_pose, start_idx, indices):
     return {frame_idx: poses[li] for li, frame_idx in enumerate(indices)}
 
 
+def smooth_track(
+    refiner, mesh, frames, k, poses, interval: int = 12,
+    pipelined: bool = True, cap: int = 512, keep_coarse_translation: bool = True,
+):
+    """Full track-refine pass over one video (reference
+    smooth_poses_video.py:92-192): confidence scoring picks the best start
+    frame, 12-frame intervals track 2D-3D correspondences and solve EPnP,
+    rotations/translations smooth over the track. Returns (smoothed [N, 4, 4],
+    inliers [N]).
+
+    pipelined=True (default) runs STATIC-SHAPE intervals: the top-`cap`
+    valid correspondences (grid order) with masked EPnP instead of the
+    dynamic boolean subset. Every interval then reuses TWO compiled programs
+    (correspondences + one fixed-length ZNCC chain) and the device work of
+    interval i+1 enqueues while interval i's track fetch is in flight —
+    the dynamic path compiles a fresh chain per distinct valid-count and
+    serializes on each interval's fetch. Numerics match the dynamic path
+    whenever a frame has <= cap valid correspondences (masked EPnP ==
+    subset EPnP; ZNCC tracks are per-point independent — parity-tested)."""
+    n = len(frames)
+    inliers, _ = refiner.n_inliers_per_pose(mesh, frames.transpose(0, 3, 1, 2), k, poses)
+    best = int(np.argmax(inliers))
+    step = interval
+    refined: dict[int, np.ndarray] = {}
+    starts = sorted(set(list(range(best, n, step)) + list(range(best, -1, -step))))
+    if not pipelined:
+        for s in starts:
+            idxs = list(range(s, min(s + step, n)))
+            if idxs:
+                anchor = refined.get(s, poses[s])
+                refined.update(predict_interval(refiner, mesh, frames, k, anchor, s, idxs))
+    else:
+        track_dev = getattr(refiner.tracker, "track_device", None)
+        jobs = []
+        for s in starts:
+            idxs = list(range(s, min(s + step, n)))
+            if not idxs:
+                continue
+            query, surface, valid = refiner.compute_2d3d_correspondences(
+                mesh, frames[s].transpose(2, 0, 1), k, jnp.asarray(poses[s])
+            )
+            # Static top-`cap` selection: valid correspondences first, grid
+            # order (the dynamic path's subset order), padding after.
+            g2 = valid.shape[0]
+            order = jnp.argsort(
+                jnp.where(valid, 0, g2 + 1) + jnp.arange(g2)
+            )[: min(cap, g2)]
+            qs, ss, vs = query[order], surface[order], valid[order]
+            # Pad the interval to `step` frames (clamped repeats) so every
+            # interval's chain shares ONE compiled shape; padded rows drop.
+            pad_idxs = [min(max(i, 0), n - 1) for i in idxs] + [idxs[-1]] * (step - len(idxs))
+            sub = frames[pad_idxs]
+            if track_dev is not None:
+                tracks, scores = track_dev(sub, qs, 0)
+                vis = None
+                for a in (tracks, scores):
+                    try:
+                        a.copy_to_host_async()
+                    except Exception:
+                        pass
+            else:
+                tracks, vis = refiner.track_frames(sub, np.asarray(qs), 0)
+                scores = None
+            jobs.append((s, idxs, ss, vs, tracks, vis, scores))
+        for s, idxs, ss, vs, tracks, vis, scores in jobs:
+            vs_np = np.asarray(vs)
+            if vs_np.sum() < 4:
+                for i in idxs:
+                    refined[i] = poses[s]
+                continue
+            if vis is None:
+                vis = np.asarray(scores) > 0.5
+            pv = refiner.compute_pnp_batch(
+                jnp.asarray(tracks), ss, jnp.asarray(vis) & jnp.asarray(vs)[None], k
+            )
+            for li, fi in enumerate(idxs):
+                refined[fi] = np.asarray(pv[li])
+    out_poses = np.stack([refined.get(i, poses[i]) for i in range(n)])
+    if keep_coarse_translation:
+        out_poses[:, :3, 3] = poses[:, :3, 3]  # reference :356
+    smoothed = np.asarray(smooth_transforms(jnp.asarray(out_poses, jnp.float32)))
+    return smoothed, np.asarray(inliers)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--video-dir", required=True)
@@ -49,14 +133,23 @@ def main() -> None:
     ap.add_argument("--mesh-dir", required=True)
     ap.add_argument("--out", default=None)
     ap.add_argument("--weights", default=None, help="DINOv2-B params (.npz)")
-    ap.add_argument("--tracker", default="zncc", choices=["zncc", "cotracker2"],
-                    help="point tracker: weight-free ZNCC chaining (default) or the "
-                         "released CoTracker2 architecture (needs --tracker-weights "
-                         "from scripts/convert_weights.py --kind cotracker2-hub)")
+    ap.add_argument("--tracker", default=None, choices=["zncc", "cotracker2"],
+                    help="point tracker. Default: cotracker2 (the reference's "
+                         "tracker, tracking_refiner.py:24) WHEN --tracker-weights "
+                         "is supplied, else the weight-free ZNCC chaining")
     ap.add_argument("--tracker-weights", default=None,
-                    help="converted CoTracker2 params (.npz)")
+                    help="converted CoTracker2 params (.npz) from "
+                         "scripts/convert_weights.py --kind cotracker2-hub")
     ap.add_argument("--interval", type=int, default=12)
     ap.add_argument("--keep-coarse-translation", action="store_true", default=True)
+    ap.add_argument("--exact-intervals", action="store_true",
+                    help="dynamic per-interval correspondence subsets (one "
+                    "compiled chain per distinct valid-count, serialized "
+                    "fetches) instead of the default static-shape pipelined "
+                    "intervals — see smooth_track")
+    ap.add_argument("--cap", type=int, default=512,
+                    help="pipelined mode: max tracked correspondences per "
+                    "interval (grid-order valid-first)")
     args = ap.parse_args()
 
     frames = load_frames(args.video_dir)
@@ -70,6 +163,11 @@ def main() -> None:
 
     extractor = load_dino_extractor(args.weights, model="vitb")
     feature_fn = lambda imgs: extractor(imgs, layer=None, feature_type="patch")
+    if args.tracker is None:
+        # CoTracker2 is the reference's production tracker; it becomes the
+        # default as soon as converted weights are provided. Without weights
+        # the weight-free ZNCC path keeps the CLI usable offline.
+        args.tracker = "cotracker2" if args.tracker_weights else "zncc"
     if args.tracker == "cotracker2":
         from freepose_tpu.models.cotracker2 import COTRACKER2, CoTracker2Predictor
         from scripts.common import load_params
@@ -85,32 +183,14 @@ def main() -> None:
     )
 
     poses = np.stack([np.vstack([np.hstack([r.R, r.t[:, None]]), [0, 0, 0, 1]]) for r in coarse])
-    t0 = time.perf_counter()
-    # uint8 straight through: normalization happens on device (4x fewer
-    # host->device bytes for the whole-video frame stack).
-    inliers, _ = refiner.n_inliers_per_pose(
-        mesh, frames.transpose(0, 3, 1, 2), k, poses
-    )
-    best = int(np.argmax(inliers))
-    print(f"inliers per frame: {inliers.tolist()} -> start at {best}")
-
-    # Interval schedule walking forward and backward from the best frame
-    # (reference :99-158).
     n = len(frames)
-    refined = dict()
-    step = args.interval
-    starts = list(range(best, n, step)) + list(range(best, -1, -step))
-    for s in sorted(set(starts)):
-        idxs = list(range(s, min(s + step, n)))
-        if not idxs:
-            continue
-        anchor = refined.get(s, poses[s])
-        refined.update(predict_interval(refiner, mesh, frames, k, anchor, s, idxs))
-
-    out_poses = np.stack([refined.get(i, poses[i]) for i in range(n)])
-    if args.keep_coarse_translation:
-        out_poses[:, :3, 3] = poses[:, :3, 3]  # reference :356
-    smoothed = np.asarray(smooth_transforms(jnp.asarray(out_poses, jnp.float32)))
+    t0 = time.perf_counter()
+    smoothed, inliers = smooth_track(
+        refiner, mesh, frames, k, poses, interval=args.interval,
+        pipelined=not args.exact_intervals, cap=args.cap,
+        keep_coarse_translation=args.keep_coarse_translation,
+    )
+    print(f"inliers per frame: {inliers.tolist()} -> start at {int(np.argmax(inliers))}")
     dt = time.perf_counter() - t0
 
     results = [

@@ -163,3 +163,24 @@ def test_pose_confidence_batch_matches_serial(refiner):
     for i in range(3):
         solo = refiner.pose_confidence(mesh, photos[i], K, jnp.asarray(poses[i]))
         np.testing.assert_allclose(batch[i], solo, atol=2e-5)
+
+
+def test_smooth_track_pipelined_matches_exact(refiner):
+    """smooth_track(pipelined=True): static-cap intervals + masked EPnP +
+    device-chained ZNCC must reproduce the dynamic-subset path when every
+    frame has <= cap valid correspondences."""
+    from scripts.smooth_poses_video import smooth_track
+
+    mesh = _mesh()
+    poses = _gt_poses(t=8)
+    frames = (_render_video(mesh, poses) * 255).astype(np.uint8)
+    k = np.asarray(K)
+    exact, inl_e = smooth_track(
+        refiner, mesh, frames, jnp.asarray(k), poses, interval=4, pipelined=False
+    )
+    pipe, inl_p = smooth_track(
+        refiner, mesh, frames, jnp.asarray(k), poses, interval=4, pipelined=True,
+        cap=2000,
+    )
+    np.testing.assert_allclose(inl_e, inl_p)
+    np.testing.assert_allclose(pipe, exact, rtol=1e-3, atol=1e-4)
