@@ -48,7 +48,31 @@ def main() -> None:
         return main_coarse()
     if which == "refine":
         return main_refine()
+    if which == "proposals":
+        return main_proposals()
     return main_e2e()
+
+
+def main_proposals() -> None:
+    """Static-dataset proposal stage (extract_proposals_ground hot loop):
+    GroundingDINO detect + SAM2 mask decode + FFA retrieval per frame.
+    vs_baseline is against the 250 ms/frame stage target (VERDICT r2 #7)."""
+    from scripts.bench_proposals import make_args, run_proposals_bench
+
+    res = run_proposals_bench(make_args(tiny=TINY, frames=4 if TINY else 8))
+    ms = res["total_ms"]
+    print(
+        json.dumps(
+            {
+                "metric": "static proposal stage ms/frame (GroundingDINO@800 "
+                "detect + SAM2 masks + FFA retrieval over the 46k bank, bf16)",
+                "value": round(ms, 1),
+                "unit": "ms/frame",
+                "vs_baseline": round(250.0 / ms, 3),
+                "stages": {k: round(v, 1) for k, v in res.items()},
+            }
+        )
+    )
 
 
 def main_e2e() -> None:

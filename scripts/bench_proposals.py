@@ -16,6 +16,29 @@ _CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))
 
 
 def main() -> None:
+    run_proposals_bench(_parse())
+
+
+def _parse():
+    import argparse as _ap
+
+    ap = _ap.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--boxes", type=int, default=4, help="detections per frame")
+    ap.add_argument("--bank-rows", type=int, default=46037)
+    return ap.parse_args()
+
+
+def make_args(**kw):
+    import types
+
+    d = dict(tiny=False, frames=8, boxes=4, bank_rows=46037)
+    d.update(kw)
+    return types.SimpleNamespace(**d)
+
+
+def run_proposals_bench(args) -> dict:
     import jax
 
     try:
@@ -36,13 +59,6 @@ def main() -> None:
     from freepose_tpu.pipeline.proposals import extract_proposals
     from freepose_tpu.pipeline.template_bank import normalize_feats
     from scripts.bench_sam2 import random_params_like
-
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--tiny", action="store_true")
-    ap.add_argument("--frames", type=int, default=8)
-    ap.add_argument("--boxes", type=int, default=4, help="detections per frame")
-    ap.add_argument("--bank-rows", type=int, default=46037)
-    args = ap.parse_args()
 
     rng = np.random.default_rng(0)
     if args.tiny:
@@ -129,12 +145,16 @@ def main() -> None:
     for f in frames[1:]:
         for k, v in stage_times(f).items():
             agg.setdefault(k, []).append(v)
+    out = {}
     total = 0.0
     for k, v in agg.items():
-        ms = 1e3 * float(np.mean(v))
+        ms = 1e3 * float(np.median(v))
+        out[k + "_ms"] = ms
         total += ms
         print(f"{k:9s}: {ms:7.1f} ms/frame")
     print(f"total    : {total:7.1f} ms/frame = {1e3 / total:.2f} frames/s")
+    out["total_ms"] = total
+    return out
 
 
 if __name__ == "__main__":

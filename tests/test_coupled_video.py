@@ -92,3 +92,55 @@ def test_propagate_batched_matches_fetched_stream():
             np.testing.assert_array_equal(np.asarray(highs[z]), rh)
             seen.append(t)
     assert seen == list(range(7))
+
+
+@pytest.mark.slow
+def test_device_resident_frames_match_host_frames():
+    """init_state with a DEVICE video array (pre-staged HBM frames) must
+    propagate identically to the host-np path — chunked, singleton, and
+    reverse batches all slice/flip/pad on device."""
+    from freepose_tpu.models.sam2.predictor import Sam2VideoPredictor
+    from freepose_tpu.models.sam2.video import Sam2VideoModel, init_object_state
+    from tests.test_sam2_video import OUR_CFG as cfg
+
+    model = Sam2VideoModel(cfg)
+    state0 = init_object_state(cfg)
+
+    def full(mdl, pixels):
+        pyramid, pos = mdl.embed_frame(pixels)
+        st, _ = mdl.track_step(
+            state0, pyramid, pyramid[2], pos[2], jnp.int32(0), jnp.int32(3),
+            points=jnp.zeros((1, 1, cfg.max_point_prompts, 2)),
+            labels=jnp.full((1, 1, cfg.max_point_prompts), -10, jnp.int32),
+            is_init=True,
+        )
+        return mdl.track_step(st, pyramid, pyramid[2], pos[2], jnp.int32(1), jnp.int32(3))
+
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 3, cfg.image_size, cfg.image_size)),
+        method=full,
+    )["params"]
+    pred = Sam2VideoPredictor(cfg, params, max_objects=1)
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 255, size=(7, 48, 56, 3), dtype=np.uint8)
+    frames_dev = jax.device_put(frames)
+
+    for reverse, start in ((False, 0), (True, 4)):
+        def run(src):
+            st = pred.init_state(src)
+            st = pred.add_new_points_or_box(
+                st, start, obj_id=0, box=np.array([5, 5, 40, 40], np.float32)
+            )
+            return [
+                (t, np.asarray(low), np.asarray(high))
+                for t, _, low, high in pred.propagate_in_video(
+                    st, binarize=True, chunk=3, reverse=reverse
+                )
+            ]
+
+        ref = run(frames)
+        got = run(frames_dev)
+        assert [r[0] for r in ref] == [g[0] for g in got]
+        for (t, rl, rh), (_, gl, gh) in zip(ref, got):
+            np.testing.assert_array_equal(gl, rl, err_msg=f"reverse={reverse} t={t}")
+            np.testing.assert_array_equal(gh, rh, err_msg=f"reverse={reverse} t={t}")
