@@ -69,7 +69,10 @@ def main_proposals() -> None:
                 "value": round(ms, 1),
                 "unit": "ms/frame",
                 "vs_baseline": round(250.0 / ms, 3),
-                "stages": {k: round(v, 1) for k, v in res.items()},
+                "stages": {
+                    k: (round(v, 1) if isinstance(v, float) else v)
+                    for k, v in res.items()
+                },
             }
         )
     )
@@ -79,7 +82,7 @@ def main_e2e() -> None:
     from scripts.bench_e2e import make_args, run_e2e_bench
 
     res = run_e2e_bench(
-        make_args(tiny=TINY, frames=8 if TINY else 48, warmup=2 if TINY else 8,
+        make_args(tiny=TINY, frames=8 if TINY else 96, warmup=2 if TINY else 8,
                   reps=2 if TINY else 3)
     )
     fps = 1e3 / res["e2e_ms"]

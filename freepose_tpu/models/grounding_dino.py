@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+from functools import partial
 
 import flax.linen as nn
 import jax
@@ -592,6 +593,28 @@ class GroundingDinoDetector:
         """image [H, W, 3] -> (boxes xyxy pixels [N, 4], scores [N])."""
         return self.detect_batch([image], input_ids, text, box_threshold)[0]
 
+    def detect_topk_device(self, image, k: int = 25,
+                           input_ids: np.ndarray | None = None,
+                           text: str = "objects."):
+        """STATIC-SHAPE detection, fully device-resident: forward + per-query
+        score + top-`k` selection in one jit, returning
+        (boxes xyxy pixels [k, 4], scores [k]) as DEVICE arrays — nothing is
+        fetched, so per-frame proposal pipelines (detect -> SAM2 box prompts
+        -> retrieval) chain on device with a single fetch at the end. The
+        reference flow keeps the top-25 proposals after thresholding
+        (extract_proposals_ground.py top_k=25); this is that selection with
+        low-score entries carried alongside their scores for the caller to
+        mask instead of a host round trip per stage."""
+        ids = self._prompt_ids(input_ids, text)
+        sa, pos = text_token_masks(ids)
+        pad = np.zeros(ids.shape, bool)
+        h, w = image.shape[:2]
+        return _detect_topk_jit(
+            self, self.params, jnp.asarray(image), jnp.asarray(ids),
+            jnp.asarray(sa), jnp.asarray(pos), jnp.asarray(pad),
+            jnp.float32(w), jnp.float32(h), k=k,
+        )
+
     def detect_batch(self, images, input_ids: np.ndarray | None = None,
                      text: str = "objects.", box_threshold: float = 0.15):
         """Batched detection: list of [H, W, 3] images sharing one text
@@ -628,3 +651,31 @@ class GroundingDinoDetector:
             ], axis=1) if keep.any() else np.zeros((0, 4), np.float32)
             out.append((xyxy, scores[keep]))
         return out
+
+
+@partial(jax.jit, static_argnames=("det", "k"))
+def _detect_topk_jit(det, params, image, ids, sa, pos, pad, w, h, *, k):
+    """Resize+normalize + GroundingDINO forward + sigmoid-max score + top-k +
+    cxcywh->xyxy pixel boxes, ONE program with device outputs (detector is a
+    static arg by identity; params enter as arguments — see
+    models/dinov2._extract_jit)."""
+    from freepose_tpu.ops.sampling import resize_bilinear
+
+    img = image.astype(jnp.float32)
+    if image.dtype == jnp.uint8:
+        img = img / 255.0
+    mean = jnp.asarray([0.485, 0.456, 0.406]).reshape(3, 1, 1)
+    std = jnp.asarray([0.229, 0.224, 0.225]).reshape(3, 1, 1)
+    prep = (resize_bilinear(img.transpose(2, 0, 1), (det.image_size, det.image_size)) - mean) / std
+    logits, boxes = det.model.apply({"params": params}, prep[None], ids, sa, pos, pad)
+    probs = jax.nn.sigmoid(logits[0])
+    scores = jnp.max(jnp.where(jnp.isfinite(logits[0]), probs, 0.0), axis=-1)
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    bb = boxes[0][top_idx]  # [k, 4] cxcywh normalized
+    xyxy = jnp.stack([
+        (bb[:, 0] - bb[:, 2] / 2) * w,
+        (bb[:, 1] - bb[:, 3] / 2) * h,
+        (bb[:, 0] + bb[:, 2] / 2) * w,
+        (bb[:, 1] + bb[:, 3] / 2) * h,
+    ], axis=1)
+    return xyxy, top_scores

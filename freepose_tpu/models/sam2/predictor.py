@@ -93,6 +93,12 @@ def _prepare_mask_prompts(masks: jax.Array, size: int) -> jax.Array:
 
 
 @partial(jax.jit, static_argnames=("orig_hw",))
+def _upsample_threshold(logits: jax.Array, orig_hw: tuple[int, int]) -> jax.Array:
+    """Upsample -> threshold, device output (no packing: consumed on device)."""
+    return resize_bilinear(logits, orig_hw) > 0
+
+
+@partial(jax.jit, static_argnames=("orig_hw",))
 def _threshold_and_pack(logits: jax.Array, orig_hw: tuple[int, int]) -> jax.Array:
     """Upsample -> threshold -> bit-pack in ONE program (a single dispatch
     instead of an eager pad/reshape/mul/reduce chain per predict call)."""
@@ -176,6 +182,37 @@ class Sam2ImagePredictor:
         place — the proposal CLIs only consume the binary masks."""
         if self._pyramid is None:
             raise RuntimeError("call set_image first")
+        pts, labels, boxes = self._scale_prompts(point_coords, point_labels, box)
+        masks, iou, _, obj = self._decode_fn(self.params, self._pyramid, pts, labels, boxes, multimask_output)
+        logits = masks[0]  # [P, M, g, g]
+        if return_logits:
+            full = np.asarray(_upsample_logits(logits, self._orig_hw))
+        else:
+            packed = _threshold_and_pack(logits, self._orig_hw)
+            full = _unpackbits_last(np.asarray(packed), self._orig_hw[1])
+        return full, np.asarray(iou[0]), np.asarray(logits) if fetch_low_res_logits else None
+
+    def predict_device(
+        self,
+        point_coords=None,
+        point_labels=None,
+        box=None,
+        multimask_output: bool = True,
+    ):
+        """`predict` with DEVICE-RESIDENT outputs: (bool masks [P, M, H, W]
+        at the original resolution, iou [P, M]) as jax arrays — nothing
+        fetched. Box prompts may be device arrays (e.g. straight from
+        GroundingDinoDetector.detect_topk_device), so a whole per-frame
+        proposal pipeline (detect -> masks -> retrieval) chains on device
+        with one fetch at the very end."""
+        if self._pyramid is None:
+            raise RuntimeError("call set_image first")
+        pts, labels, boxes = self._scale_prompts(point_coords, point_labels, box)
+        masks, iou, _, _ = self._decode_fn(self.params, self._pyramid, pts, labels, boxes, multimask_output)
+        full = _upsample_threshold(masks[0], self._orig_hw)
+        return full, iou[0]
+
+    def _scale_prompts(self, point_coords, point_labels, box):
         pts = labels = boxes = None
         if point_coords is not None:
             pts = scale_coords(jnp.asarray(point_coords, jnp.float32), self._orig_hw, self.image_size)
@@ -185,14 +222,7 @@ class Sam2ImagePredictor:
             b = jnp.asarray(box, jnp.float32).reshape(1, -1, 4)
             bx = scale_coords(b.reshape(1, -1, 2, 2), self._orig_hw, self.image_size)
             boxes = bx.reshape(1, -1, 4)
-        masks, iou, _, obj = self._decode_fn(self.params, self._pyramid, pts, labels, boxes, multimask_output)
-        logits = masks[0]  # [P, M, g, g]
-        if return_logits:
-            full = np.asarray(_upsample_logits(logits, self._orig_hw))
-        else:
-            packed = _threshold_and_pack(logits, self._orig_hw)
-            full = _unpackbits_last(np.asarray(packed), self._orig_hw[1])
-        return full, np.asarray(iou[0]), np.asarray(logits) if fetch_low_res_logits else None
+        return pts, labels, boxes
 
 
 class Sam2VideoPredictor:

@@ -249,10 +249,14 @@ def flash_attention_stream(
     v: jax.Array,
     scale: float,
     kv_mask: jax.Array | None = None,  # [B, Nk] bool; False = masked key
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int = 512,
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> jax.Array:
+    # Default blocks 512×1024 (f32 score tile 2 MB): SAM2 memory cross-attn
+    # (n=4096, nk≈28.7k, one 256-d head) previously ran a (1, 16, 56) grid of
+    # 256×512 tiles — 896 steps whose per-step overhead dominated the ~0.6 ms
+    # of MXU work per layer.
     b, h, n, d = q.shape
     nk = k.shape[2]
 
