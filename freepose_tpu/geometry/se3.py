@@ -8,6 +8,8 @@ then vmap the averages — one fused XLA program instead of a Python loop.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -78,11 +80,51 @@ def smooth_quaternions(quats: jax.Array, window: int = 9) -> jax.Array:
     return jax.vmap(average_quaternions)(gathered, w)
 
 
-def smooth_transforms(tcos: jax.Array, t_window: int = 5, r_window: int = 9) -> jax.Array:
-    """[N, 4, 4] SE(3) trajectory smoothing (reference refiner_utils.py:210-221)."""
-    xyz = smooth_translations(tcos[:, :3, 3], t_window)
-    quats = smooth_quaternions(matrix_to_quat(tcos[:, :3, :3]), r_window)
+def _window_weights_masked(b: int, window: int, n_valid: jax.Array):
+    """Like _window_indices_weights but the valid range [0, n_valid) is a
+    TRACED scalar: one compiled program (static bucket b) serves every track
+    length. Rows >= n_valid are padding whose outputs are sliced off."""
+    half = window // 2
+    offs = jnp.arange(-half, half + 1)
+    idx = jnp.arange(b)[:, None] + offs[None, :]
+    valid = (idx >= 0) & (idx < n_valid)
+    idx = jnp.clip(idx, 0, b - 1)
+    return idx, valid.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("t_window", "r_window"))
+def _smooth_transforms_jit(
+    tcos: jax.Array, n_valid: jax.Array, t_window: int, r_window: int
+) -> jax.Array:
+    b = tcos.shape[0]
+    xyz = tcos[:, :3, 3]
+    idx_t, w_t = _window_weights_masked(b, t_window, n_valid)
+    den = jnp.maximum(jnp.sum(w_t, axis=1, keepdims=True), 1e-12)
+    xyz = jnp.sum(xyz[idx_t] * w_t[..., None], axis=1) / den
+    quats = matrix_to_quat(tcos[:, :3, :3])
+    idx_r, w_r = _window_weights_masked(b, r_window, n_valid)
+    quats = jax.vmap(average_quaternions)(quats[idx_r], w_r)
     out = tcos
     out = out.at[:, :3, 3].set(xyz)
     out = out.at[:, :3, :3].set(quat_to_matrix(quats))
     return out
+
+
+FRAME_BUCKET = 128
+
+
+def smooth_transforms(tcos: jax.Array, t_window: int = 5, r_window: int = 9) -> jax.Array:
+    """[N, 4, 4] SE(3) trajectory smoothing (reference refiner_utils.py:210-221).
+
+    Runs as ONE jitted program at a static frame bucket (N padded up to a
+    multiple of 128 with identity poses, window weights masked by the true
+    length) so every video length <= the bucket reuses the same executable —
+    the eager per-op path recompiled at every distinct track length, which on
+    a remote-compile TPU session cost tens of seconds per new video length."""
+    n = tcos.shape[0]
+    b = -(-max(n, 1) // FRAME_BUCKET) * FRAME_BUCKET
+    tcos = jnp.asarray(tcos, jnp.float32)
+    if b > n:
+        pad = jnp.tile(jnp.eye(4, dtype=tcos.dtype)[None], (b - n, 1, 1))
+        tcos = jnp.concatenate([tcos, pad], axis=0)
+    return _smooth_transforms_jit(tcos, jnp.int32(n), t_window, r_window)[:n]

@@ -44,9 +44,14 @@ def confidence_map(photo_feats: jax.Array, render_feats: jax.Array, render_mask3
     return cos * render_mask37
 
 
+@partial(jax.jit, static_argnames=("top_quantile",))
 def quantile_threshold(conf: jax.Array, top_quantile: float = 0.2) -> jax.Array:
     """Threshold keeping the top `top_quantile` of POSITIVE confidences
-    (reference _get_threshold_for_confidence histogram walk, :60-68)."""
+    (reference _get_threshold_for_confidence histogram walk, :60-68).
+
+    Jitted, and insensitive to NONPOSITIVE padding: callers with
+    length-varying inputs (per-video confidence stacks) pad with any value
+    <= 0 to a static bucket so one executable serves every video length."""
     flat = conf.reshape(-1)
     pos = flat > 0
     big = jnp.float32(-1e9)
@@ -202,7 +207,13 @@ class TrackingRefiner:
             out = self.pose_confidence_batch(mesh, cur, k, jnp.asarray(padded(poses, i)))
             confs.append(out[: n - i])
         confs = np.concatenate(confs)
-        thr = float(quantile_threshold(jnp.asarray(confs)))
+        # Static frame bucket (pad with -inf, excluded by positivity) so ONE
+        # compiled quantile program serves every video length — a fresh flat
+        # shape per video length costs a remote compile on TPU sessions.
+        bucket = -(-n // 128) * 128
+        padded_confs = np.full((bucket, *confs.shape[1:]), -1e9, np.float32)
+        padded_confs[:n] = confs
+        thr = float(quantile_threshold(jnp.asarray(padded_confs)))
         return (confs > thr).sum(axis=(1, 2)), thr
 
     # ---------------------------------------------------------------- #

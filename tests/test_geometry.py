@@ -102,6 +102,34 @@ def test_smooth_transforms_constant_trajectory_fixed_point():
     np.testing.assert_allclose(np.abs(smoothed[:, :3, :3]), np.abs(np.tile(pose[:3, :3], (20, 1, 1))), atol=1e-4)
 
 
+def test_smooth_transforms_bucketed_matches_unpadded_formula():
+    """The jitted frame-bucket path (pad to 128 with identity, masked window
+    weights) must equal the direct per-length formula at every length —
+    including lengths on/above the bucket boundary."""
+    rng = np.random.default_rng(7)
+    from freepose_tpu.geometry.rotation import matrix_to_quat, quat_to_matrix
+
+    for n in (3, 12, 96, 128, 130):
+        traj = jnp.asarray(np.stack([_random_pose(rng) for _ in range(n)]))
+        got = np.asarray(S.smooth_transforms(traj))
+        xyz = S.smooth_translations(traj[:, :3, 3], 5)
+        quats = S.smooth_quaternions(matrix_to_quat(traj[:, :3, :3]), 9)
+        want = traj.at[:, :3, 3].set(xyz).at[:, :3, :3].set(quat_to_matrix(quats))
+        np.testing.assert_allclose(got, np.asarray(want), atol=1e-5)
+
+
+def test_quantile_threshold_nonpositive_padding_invariant():
+    from freepose_tpu.pipeline.tracking_refiner import quantile_threshold
+
+    rng = np.random.default_rng(8)
+    conf = rng.standard_normal((13, 9, 9)).astype(np.float32)
+    padded = np.full((32, 9, 9), -1e9, np.float32)
+    padded[:13] = conf
+    a = float(quantile_threshold(jnp.asarray(conf)))
+    b = float(quantile_threshold(jnp.asarray(padded)))
+    assert a == b
+
+
 def test_smooth_translations_reduces_noise():
     rng = np.random.default_rng(5)
     clean = np.linspace(0, 1, 50)[:, None] * np.ones(3)
