@@ -9,12 +9,50 @@ happens on device in the consumers (predictor.prepare_image), unlike the
 reference which normalizes on host."""
 from __future__ import annotations
 
+import dataclasses
 import threading
 from pathlib import Path
 
 import numpy as np
 
 _EXTS = (".jpg", ".jpeg", ".png")
+
+FRAME_BUCKET = 128
+
+
+@dataclasses.dataclass(frozen=True)
+class StagedVideo:
+    """A whole video resident in HBM at a STATIC frame bucket.
+
+    `frames` is [B, H, W, 3] uint8 on device with B a multiple of
+    FRAME_BUCKET (rows >= n repeat the last real frame); `n` is the true
+    frame count. Consumers slice/gather chunks ON DEVICE, so per-chunk work
+    costs zero host->device bytes and — because B is bucketed — every video
+    length <= B reuses the same compiled programs (a per-video-length shape
+    costs a fresh remote compile on tunneled TPU sessions)."""
+
+    frames: object  # jax.Array [B, H, W, 3] uint8
+    n: int
+
+    def __len__(self) -> int:
+        return self.n
+
+    def prefix(self, n: int) -> "StagedVideo":
+        """A logical prefix sharing the SAME device buffer (same programs)."""
+        return dataclasses.replace(self, n=min(n, self.n))
+
+
+def stage_frames_hbm(frames: np.ndarray, bucket: int = FRAME_BUCKET) -> StagedVideo:
+    """ONE host->device upload of the whole video, padded to the frame
+    bucket with repeats of the last frame (matching the repeat-pad the
+    chunked consumers use for partial tails)."""
+    import jax
+
+    n = len(frames)
+    b = -(-max(n, 1) // bucket) * bucket
+    if b > n:
+        frames = np.concatenate([frames, np.repeat(frames[-1:], b - n, axis=0)])
+    return StagedVideo(jax.block_until_ready(jax.device_put(frames)), n)
 
 
 def list_frame_paths(video_dir: str | Path) -> list[Path]:

@@ -44,6 +44,13 @@ def confidence_map(photo_feats: jax.Array, render_feats: jax.Array, render_mask3
     return cos * render_mask37
 
 
+@partial(jax.jit, static_argnames=("size",))
+def _slice_chunk(frames: jax.Array, start: jax.Array, size: int) -> jax.Array:
+    """Dynamic-start chunk slice of a device-resident video: ONE compiled
+    program per (buffer shape, chunk size), the start index is data."""
+    return jax.lax.dynamic_slice_in_dim(frames, start, size, axis=0)
+
+
 @partial(jax.jit, static_argnames=("top_quantile",))
 def quantile_threshold(conf: jax.Array, top_quantile: float = 0.2) -> jax.Array:
     """Threshold keeping the top `top_quantile` of POSITIVE confidences
@@ -178,17 +185,21 @@ class TrackingRefiner:
         return np.asarray(cos * mask37)
 
     def n_inliers_per_pose(
-        self, mesh: TriMesh, frames: np.ndarray, k: jax.Array, poses: np.ndarray,
-        chunk: int = 8,
+        self, mesh: TriMesh, frames, k: jax.Array, poses: np.ndarray,
+        chunk: int = 8, n_valid: int | None = None,
     ):
         """Confidence + inlier count for every frame (reference :92-100).
 
-        Software-pipelined: the NEXT chunk's frame upload is issued (async
-        device_put) before blocking on the current chunk's tiny result fetch,
-        so host->device transfer overlaps compute. The tail chunk pads to
-        `chunk` by repeating the last frame (result rows sliced off) — a
-        partial tail would recompile the fused program at a new batch shape."""
-        n = len(frames)
+        `frames` is [T, 3, H, W] host np (chunks upload with async prefetch;
+        the NEXT chunk's device_put is issued before blocking on the current
+        chunk's tiny result fetch) or a DEVICE jax array at a bucketed length
+        (pass `n_valid` = true frame count): chunks then slice on device via
+        ONE jitted dynamic_slice — zero per-chunk host uploads, and programs
+        key on the bucket, not the video length. Tail chunks pad to `chunk`
+        by repeating the last frame/pose (result rows sliced off) — a partial
+        tail would recompile the fused program at a new batch shape."""
+        on_device = isinstance(frames, jax.Array)
+        n = n_valid if (on_device and n_valid is not None) else len(frames)
 
         def padded(arr, i):
             part = arr[i : i + chunk]
@@ -196,14 +207,22 @@ class TrackingRefiner:
                 part = np.concatenate([part, np.repeat(part[-1:], chunk - len(part), axis=0)])
             return part
 
-        frames = np.asarray(frames)
         poses = np.asarray(poses)
-        nxt = jax.device_put(padded(frames, 0))
+        if on_device:
+            if frames.shape[0] % chunk:
+                raise ValueError(
+                    f"device frames length {frames.shape[0]} must be a "
+                    f"multiple of chunk={chunk} (stage to a frame bucket)")
+            get_chunk = lambda i: _slice_chunk(frames, jnp.int32(i), chunk)
+        else:
+            frames = np.asarray(frames)
+            get_chunk = lambda i: jax.device_put(padded(frames, i))
+        nxt = get_chunk(0)
         confs = []
         for i in range(0, n, chunk):
             cur = nxt
             if i + chunk < n:
-                nxt = jax.device_put(padded(frames, i + chunk))
+                nxt = get_chunk(i + chunk)
             out = self.pose_confidence_batch(mesh, cur, k, jnp.asarray(padded(poses, i)))
             confs.append(out[: n - i])
         confs = np.concatenate(confs)

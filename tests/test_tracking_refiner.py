@@ -184,3 +184,37 @@ def test_smooth_track_pipelined_matches_exact(refiner):
     )
     np.testing.assert_allclose(inl_e, inl_p)
     np.testing.assert_allclose(pipe, exact, rtol=1e-3, atol=1e-4)
+
+
+def test_smooth_track_staged_matches_host(refiner):
+    """StagedVideo (device-resident bucketed frames, on-device chunk slices
+    and interval gathers) must reproduce the host-array pipelined path."""
+    from freepose_tpu.datasets.video import stage_frames_hbm
+    from scripts.smooth_poses_video import smooth_track
+
+    mesh = _mesh()
+    poses = _gt_poses(t=8)
+    frames = (_render_video(mesh, poses) * 255).astype(np.uint8)
+    k = np.asarray(K)
+    host, inl_h = smooth_track(
+        refiner, mesh, frames, jnp.asarray(k), poses, interval=4, pipelined=True,
+        cap=2000,
+    )
+    staged = stage_frames_hbm(frames, bucket=16)
+    assert staged.frames.shape[0] == 16 and staged.n == 8
+    dev, inl_d = smooth_track(
+        refiner, mesh, staged, jnp.asarray(k), poses, interval=4, pipelined=True,
+        cap=2000,
+    )
+    np.testing.assert_allclose(inl_h, inl_d)
+    np.testing.assert_allclose(dev, host, rtol=1e-4, atol=1e-5)
+    # prefix() shares the buffer and only changes the logical length
+    dev2, _ = smooth_track(
+        refiner, mesh, staged.prefix(6), jnp.asarray(k), poses[:6], interval=4,
+        pipelined=True, cap=2000,
+    )
+    host2, _ = smooth_track(
+        refiner, mesh, frames[:6], jnp.asarray(k), poses[:6], interval=4,
+        pipelined=True, cap=2000,
+    )
+    np.testing.assert_allclose(dev2, host2, rtol=1e-4, atol=1e-5)
