@@ -152,21 +152,26 @@ class TrackingRefiner:
         return np.asarray(confidence_map(feats[0], feats[1], mask37))
 
     def pose_confidence_batch(
-        self, mesh: TriMesh, frames: jax.Array, k: jax.Array, poses: jax.Array
-    ) -> np.ndarray:
+        self, mesh: TriMesh, frames: jax.Array, k: jax.Array, poses: jax.Array,
+        fetch: bool = True,
+    ):
         """Batched pose_confidence: [B, 3, H, W] photos + [B, 4, 4] poses ->
         [B, 37, 37]. One crop/render/feature batch instead of B serial
         per-frame chains (the reference's dominant smooth_poses cost,
         tracking_refiner.py:92-100 — render + 2 ViT-B per frame). Frames may
-        be uint8 (normalized on device after the cheap upload)."""
+        be uint8 (normalized on device after the cheap upload). fetch=False
+        returns the DEVICE array (callers enqueue many chunks back-to-back
+        and fetch once — a per-chunk blocking fetch costs a tunnel round trip
+        and stalls the next chunk's dispatch)."""
         pts = jnp.asarray(mesh.sample_surface(100, seed=42))
         v, c, f, valid = self._padded(mesh)
         if self.extractor is not None:
-            return np.asarray(_confidence_batch_fused(
+            out = _confidence_batch_fused(
                 v, c, f, valid, pts, jnp.asarray(frames), k, poses,
                 self.extractor.params_for(self.feature_layer), self.settings, self.extractor,
                 self.feature_layer,
-            ))
+            )
+            return np.asarray(out) if fetch else out
         frames = self._to_float(frames)
         bboxes = crop_bbox_around_projection(poses, pts, k, RES, RES, lamb=1.4)
         crops = jax.vmap(
@@ -182,7 +187,8 @@ class TrackingRefiner:
             jnp.concatenate([crops, render_rgb.transpose(0, 3, 1, 2)])
         )
         cos = jnp.sum(feats[:b] * feats[b:], axis=-1).reshape(b, GRID, GRID)
-        return np.asarray(cos * mask37)
+        out = cos * mask37
+        return np.asarray(out) if fetch else out
 
     def n_inliers_per_pose(
         self, mesh: TriMesh, frames, k: jax.Array, poses: np.ndarray,
@@ -218,14 +224,23 @@ class TrackingRefiner:
             frames = np.asarray(frames)
             get_chunk = lambda i: jax.device_put(padded(frames, i))
         nxt = get_chunk(0)
-        confs = []
+        outs = []
         for i in range(0, n, chunk):
             cur = nxt
             if i + chunk < n:
                 nxt = get_chunk(i + chunk)
-            out = self.pose_confidence_batch(mesh, cur, k, jnp.asarray(padded(poses, i)))
-            confs.append(out[: n - i])
-        confs = np.concatenate(confs)
+            # Enqueue every chunk's program; fetch ONCE after the loop (each
+            # result starts its host copy async) — a per-chunk blocking fetch
+            # would add a tunnel round trip per chunk and stall dispatch.
+            out = self.pose_confidence_batch(
+                mesh, cur, k, jnp.asarray(padded(poses, i)), fetch=False)
+            try:
+                out.copy_to_host_async()
+            except Exception:
+                pass
+            outs.append(out)
+        confs = np.concatenate([np.asarray(o)[: n - i] for i, o in
+                                zip(range(0, n, chunk), outs)])
         # Static frame bucket (pad with -inf, excluded by positivity) so ONE
         # compiled quantile program serves every video length — a fresh flat
         # shape per video length costs a remote compile on TPU sessions.
@@ -238,12 +253,14 @@ class TrackingRefiner:
     # ---------------------------------------------------------------- #
     def compute_2d3d_correspondences(
         self, mesh: TriMesh, photo: jax.Array, k: jax.Array, pose: jax.Array,
-        mask: jax.Array | None = None, seed: int = 0,
+        mask: jax.Array | None = None, seed: int = 0, fetch: bool = True,
     ):
         """-> (query_points [G², 2] full-image px, surface_points [G², 3]
         object frame, valid [G²]). Padded to the 37² patch grid. One fused
         program (correspondences never read `photo` pixels — the parameter
-        stays for the reference API shape, tracking_refiner.py:132-158)."""
+        stays for the reference API shape, tracking_refiner.py:132-158).
+        fetch=False keeps the results on DEVICE (pipelined interval callers
+        enqueue every interval's chain before fetching anything)."""
         pts100 = jnp.asarray(mesh.sample_surface(100, seed=42))
         surf = jnp.asarray(mesh.sample_surface(self.n_surface_samples, seed=seed))
         v, c, f, fv = self._padded(mesh, 0.8)  # reference's 0.8 shrink, :140-143
@@ -253,6 +270,8 @@ class TrackingRefiner:
             jnp.zeros((2, 2)) if mask is None else jnp.asarray(mask, jnp.float32),
             settings=self.settings, has_mask=mask is not None,
         )
+        if not fetch:
+            return query, surface_points, valid
         return np.asarray(query), np.asarray(surface_points), np.asarray(valid)
 
     # ---------------------------------------------------------------- #

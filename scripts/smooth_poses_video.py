@@ -101,10 +101,12 @@ def smooth_track(
             # compute_2d3d_correspondences never reads photo pixels (see its
             # docstring) — the staged path passes a dummy instead of slicing
             # the device buffer (a per-start-index slice would compile one
-            # program per distinct start).
+            # program per distinct start), and keeps results on DEVICE so
+            # every interval's correspondences + track chain enqueue
+            # back-to-back (fetches drain in the second loop).
             photo = jnp.zeros((3, 2, 2)) if staged else frames[s].transpose(2, 0, 1)
             query, surface, valid = refiner.compute_2d3d_correspondences(
-                mesh, photo, k, jnp.asarray(poses[s])
+                mesh, photo, k, jnp.asarray(poses[s]), fetch=not staged
             )
             # Static top-`cap` selection: valid correspondences first, grid
             # order (the dynamic path's subset order), padding after.
@@ -125,7 +127,7 @@ def smooth_track(
             if track_dev is not None:
                 tracks, scores = track_dev(sub, qs, 0)
                 vis = None
-                for a in (tracks, scores):
+                for a in (tracks, scores, vs):
                     try:
                         a.copy_to_host_async()
                     except Exception:
