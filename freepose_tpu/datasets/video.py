@@ -49,7 +49,9 @@ def stage_frames_hbm(frames: np.ndarray, bucket: int = FRAME_BUCKET) -> StagedVi
     import jax
 
     n = len(frames)
-    b = -(-max(n, 1) // bucket) * bucket
+    if n == 0:
+        raise ValueError("stage_frames_hbm: empty frame array")
+    b = -(-n // bucket) * bucket
     if b > n:
         frames = np.concatenate([frames, np.repeat(frames[-1:], b - n, axis=0)])
     return StagedVideo(jax.block_until_ready(jax.device_put(frames)), n)

@@ -110,19 +110,30 @@ def _smooth_transforms_jit(
     return out
 
 
-FRAME_BUCKET = 128
+# Canonical static frame bucket shared by every per-video-length program
+# (HBM staging, quantile threshold, smoothing) — one definition so staged
+# buffers and compiled shapes can never drift apart.
+from freepose_tpu.datasets.video import FRAME_BUCKET  # noqa: E402
 
 
-def smooth_transforms(tcos: jax.Array, t_window: int = 5, r_window: int = 9) -> jax.Array:
+def smooth_transforms(
+    tcos: jax.Array, t_window: int = 5, r_window: int = 9, bucket: int | None = None
+) -> jax.Array:
     """[N, 4, 4] SE(3) trajectory smoothing (reference refiner_utils.py:210-221).
 
     Runs as ONE jitted program at a static frame bucket (N padded up to a
     multiple of 128 with identity poses, window weights masked by the true
     length) so every video length <= the bucket reuses the same executable —
     the eager per-op path recompiled at every distinct track length, which on
-    a remote-compile TPU session cost tens of seconds per new video length."""
+    a remote-compile TPU session cost tens of seconds per new video length.
+
+    `bucket` pins the padded length explicitly (callers with a staged HBM
+    video pass its buffer length so a short warm-up prefix compiles the same
+    program as the full pass); default = n rounded up to FRAME_BUCKET."""
     n = tcos.shape[0]
-    b = -(-max(n, 1) // FRAME_BUCKET) * FRAME_BUCKET
+    b = bucket if bucket is not None else -(-max(n, 1) // FRAME_BUCKET) * FRAME_BUCKET
+    if b < n:
+        raise ValueError(f"smooth_transforms: bucket {b} < track length {n}")
     tcos = jnp.asarray(tcos, jnp.float32)
     if b > n:
         pad = jnp.tile(jnp.eye(4, dtype=tcos.dtype)[None], (b - n, 1, 1))

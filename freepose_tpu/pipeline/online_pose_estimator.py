@@ -1003,7 +1003,8 @@ class AutoRefineChain:
     def __init__(
         self, est: "OnlinePoseEstimator", mesh, cache_key=None, *,
         neighborhood_deg: float = 15.0, mask_scores: bool = False,
-        lag: int = 3, miss_bucket: int = 16,
+        lag: int = 3, miss_bucket: int = 16, adaptive_bucket: bool = False,
+        bucket_choices: tuple = (8, 16, 32),
     ):
         from collections import deque
 
@@ -1015,6 +1016,19 @@ class AutoRefineChain:
         self.mask_scores = mask_scores
         self.lag = max(1, lag)
         self.miss_bucket = miss_bucket
+        # Adaptive miss bucket (VERDICT r3 #3): the stream step's bucket
+        # follows the OBSERVED miss rate instead of staying static — fast
+        # motion escalates to the next bucket before overflow forces full
+        # re-dispatches; slow motion de-escalates so hit frames keep the
+        # smallest (cheapest) program. Each bucket size is its own compiled
+        # executable, so choices are few and results stay EXACT: the bucket
+        # only caps self-served misses + prefetch padding, never the scores
+        # (cached_refine_auto_step's exactness note).
+        self.adaptive = bool(adaptive_bucket)
+        self.bucket_choices = tuple(sorted(set(
+            list(bucket_choices) + [miss_bucket])))
+        self._recent_miss: "deque" = deque(maxlen=16)
+        self.bucket_switches: list[tuple[int, int]] = []  # (frame, new_bucket)
         self.pending: "deque" = deque()
         self.results: list[tuple[np.ndarray, float]] = []
         self.n_full_redispatch = 0
@@ -1085,6 +1099,42 @@ class AutoRefineChain:
         self._drain(0)
         return self.results
 
+    def _adapt(self, n_miss: int, overflowed: bool) -> None:
+        """Escalate/de-escalate the stream bucket from observed misses."""
+        if not self.adaptive:
+            return
+        self._recent_miss.append(n_miss)
+        cur = self.miss_bucket
+        if overflowed:
+            bigger = [b for b in self.bucket_choices if b > cur]
+            if bigger:
+                # Jump straight to a bucket that would have absorbed this
+                # frame's misses (else the largest available).
+                self.miss_bucket = next((b for b in bigger if b >= n_miss), bigger[-1])
+                self.bucket_switches.append((len(self.results), self.miss_bucket))
+                self._recent_miss.clear()
+            return
+        recent = list(self._recent_miss)
+        # Near-capacity misses on recent frames: escalate BEFORE an overflow
+        # costs a full re-dispatch + requeue of the in-flight frames.
+        if len(recent) >= 4 and np.mean(recent[-4:]) > 0.75 * cur:
+            bigger = [b for b in self.bucket_choices if b > cur]
+            if bigger:
+                self.miss_bucket = bigger[0]
+                self.bucket_switches.append((len(self.results), self.miss_bucket))
+                self._recent_miss.clear()
+            return
+        # Sustained low misses: drop to the largest smaller bucket that still
+        # clears the recent peak with headroom.
+        smaller = [b for b in self.bucket_choices if b < cur]
+        if len(recent) == self._recent_miss.maxlen and smaller:
+            peak = max(recent)
+            fit = [b for b in smaller if peak < 0.5 * b or peak == 0]
+            if fit:
+                self.miss_bucket = fit[-1]
+                self.bucket_switches.append((len(self.results), self.miss_bucket))
+                self._recent_miss.clear()
+
     def _drain(self, allowed: int) -> None:
         while len(self.pending) > allowed:
             inputs, handle = self.pending.popleft()
@@ -1092,10 +1142,12 @@ class AutoRefineChain:
             if p[17] > 0.5:  # ok
                 self.results.append((p[:16].reshape(4, 4), float(p[16])))
                 self.miss_counts.append(int(p[18]))
+                self._adapt(int(p[18]), overflowed=False)
                 continue
             # Trajectory jump: re-dispatch this frame with the full bucket
             # from the last good pose, then re-enqueue the frames behind it.
             self.n_full_redispatch += 1
+            self._adapt(int(p[18]), overflowed=True)
             prev = jnp.asarray(self.results[-1][0], jnp.float32)
             packed = self._step(inputs, prev, self.est.n_neighbors)
             rest = list(self.pending)

@@ -51,6 +51,15 @@ def _slice_chunk(frames: jax.Array, start: jax.Array, size: int) -> jax.Array:
     return jax.lax.dynamic_slice_in_dim(frames, start, size, axis=0)
 
 
+@partial(jax.jit, static_argnames=("size",))
+def _slice_chunk_chw(frames: jax.Array, start: jax.Array, size: int) -> jax.Array:
+    """Chunk slice of an HBM-staged [B, H, W, 3] video transposed to the
+    model layout [size, 3, H, W] INSIDE the program — an eager transpose of
+    the whole staged buffer would materialize a second full-video copy."""
+    chunk = jax.lax.dynamic_slice_in_dim(frames, start, size, axis=0)
+    return chunk.transpose(0, 3, 1, 2)
+
+
 @partial(jax.jit, static_argnames=("top_quantile",))
 def quantile_threshold(conf: jax.Array, top_quantile: float = 0.2) -> jax.Array:
     """Threshold keeping the top `top_quantile` of POSITIVE confidences
@@ -192,7 +201,7 @@ class TrackingRefiner:
 
     def n_inliers_per_pose(
         self, mesh: TriMesh, frames, k: jax.Array, poses: np.ndarray,
-        chunk: int = 8, n_valid: int | None = None,
+        chunk: int = 8, n_valid: int | None = None, channels_last: bool = False,
     ):
         """Confidence + inlier count for every frame (reference :92-100).
 
@@ -203,9 +212,22 @@ class TrackingRefiner:
         ONE jitted dynamic_slice — zero per-chunk host uploads, and programs
         key on the bucket, not the video length. Tail chunks pad to `chunk`
         by repeating the last frame/pose (result rows sliced off) — a partial
-        tail would recompile the fused program at a new batch shape."""
+        tail would recompile the fused program at a new batch shape.
+
+        channels_last=True (device frames only) accepts the HBM-staged
+        [B, H, W, 3] layout and transposes each chunk INSIDE the slice
+        program — an eager transpose of the staged buffer would materialize a
+        second full-video copy, and the chunk program would differ from the
+        one StreamingInliers compiles."""
         on_device = isinstance(frames, jax.Array)
-        n = n_valid if (on_device and n_valid is not None) else len(frames)
+        if channels_last and not on_device:
+            raise ValueError("channels_last applies to device-staged frames")
+        if on_device and n_valid is None:
+            raise ValueError(
+                "n_inliers_per_pose: device frames are bucket-padded — pass "
+                "n_valid (the true frame count); the padded length would "
+                "silently count duplicate padding frames")
+        n = n_valid if on_device else len(frames)
 
         def padded(arr, i):
             part = arr[i : i + chunk]
@@ -219,7 +241,8 @@ class TrackingRefiner:
                 raise ValueError(
                     f"device frames length {frames.shape[0]} must be a "
                     f"multiple of chunk={chunk} (stage to a frame bucket)")
-            get_chunk = lambda i: _slice_chunk(frames, jnp.int32(i), chunk)
+            slicer = _slice_chunk_chw if channels_last else _slice_chunk
+            get_chunk = lambda i: slicer(frames, jnp.int32(i), chunk)
         else:
             frames = np.asarray(frames)
             get_chunk = lambda i: jax.device_put(padded(frames, i))
@@ -244,7 +267,12 @@ class TrackingRefiner:
         # Static frame bucket (pad with -inf, excluded by positivity) so ONE
         # compiled quantile program serves every video length — a fresh flat
         # shape per video length costs a remote compile on TPU sessions.
-        bucket = -(-n // 128) * 128
+        # Device frames are already staged at a bucket multiple: key on the
+        # BUFFER length so a short warm-up prefix of a long staged video
+        # compiles the exact program the full pass runs.
+        from freepose_tpu.datasets.video import FRAME_BUCKET
+
+        bucket = frames.shape[0] if on_device else -(-n // FRAME_BUCKET) * FRAME_BUCKET
         padded_confs = np.full((bucket, *confs.shape[1:]), -1e9, np.float32)
         padded_confs[:n] = confs
         thr = float(quantile_threshold(jnp.asarray(padded_confs)))
@@ -352,6 +380,89 @@ class TrackingRefiner:
             chosen.append(idx)
             arr[max(idx - span, 0) : idx + span + 1] = -1
         return np.sort(np.asarray(chosen))
+
+
+class StreamingInliers:
+    """Incremental n_inliers_per_pose over an HBM-staged video.
+
+    The serial smooth pass scores every frame's confidence AFTER the refine
+    loop finishes (reference tracking_refiner.py:92-100 runs as its own
+    stage). But each frame's confidence depends only on THAT frame's pose, so
+    the chunks can dispatch as soon as the refine chain finalizes their poses
+    — the confidence compute then fills the refine loop's host-stall windows
+    (dispatch gaps + result-fetch round trips) instead of serializing after
+    it. `add(t, pose)` feeds poses in any order; a chunk dispatches when all
+    its frames' poses are known; `finalize()` fetches everything and returns
+    (inliers [n], threshold) identical to n_inliers_per_pose (same fused
+    program, same bucketed quantile).
+    """
+
+    def __init__(self, refiner: TrackingRefiner, mesh: TriMesh, staged, k: jax.Array,
+                 chunk: int = 8):
+        from freepose_tpu.datasets.video import StagedVideo
+
+        if not isinstance(staged, StagedVideo):
+            raise TypeError("StreamingInliers requires an HBM StagedVideo")
+        if staged.frames.shape[0] % chunk:
+            raise ValueError("staged bucket must be a multiple of chunk")
+        self.refiner = refiner
+        self.mesh = mesh
+        self.staged = staged
+        self.k = jnp.asarray(k, jnp.float32)
+        self.chunk = chunk
+        self.n = staged.n
+        self._poses: dict[int, np.ndarray] = {}
+        self._outs: list[jax.Array] = []  # per-chunk [chunk, 37, 37] device
+        self._next = 0  # first frame of the next chunk to dispatch
+
+    def warmup(self) -> None:
+        """Compile the chunk program before any timed region (results unused:
+        identity poses on the first chunk's frames)."""
+        if self._next == 0 and not self._outs:
+            cur = _slice_chunk_chw(self.staged.frames, jnp.int32(0), self.chunk)
+            out = self.refiner.pose_confidence_batch(
+                self.mesh, cur, self.k,
+                jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (self.chunk, 1, 1)),
+                fetch=False)
+            jax.block_until_ready(out)
+
+    def add(self, t: int, pose: np.ndarray) -> None:
+        self._poses[t] = np.asarray(pose)
+        self._flush()
+
+    def _flush(self) -> None:
+        while self._next < self.n:
+            i = self._next
+            hi = min(i + self.chunk, self.n)
+            if any(j not in self._poses for j in range(i, hi)):
+                return
+            # Tail chunks repeat the last pose (result rows sliced off) so
+            # the one compiled chunk program serves the tail; the staged
+            # buffer already repeat-pads its frames.
+            idxs = [min(j, hi - 1) for j in range(i, i + self.chunk)]
+            poses = jnp.asarray(np.stack([self._poses[j] for j in idxs]), jnp.float32)
+            cur = _slice_chunk_chw(self.staged.frames, jnp.int32(i), self.chunk)
+            out = self.refiner.pose_confidence_batch(self.mesh, cur, self.k, poses, fetch=False)
+            try:
+                out.copy_to_host_async()
+            except Exception:
+                pass
+            self._outs.append(out)
+            self._next = hi
+
+    def finalize(self):
+        """-> (inliers [n] int, threshold float). All poses must be fed."""
+        if self._next < self.n:
+            missing = [j for j in range(self._next, self.n) if j not in self._poses]
+            raise ValueError(f"StreamingInliers: poses missing for frames {missing[:5]}")
+        confs = np.concatenate(
+            [np.asarray(o)[: self.n - i] for i, o in
+             zip(range(0, self.n, self.chunk), self._outs)])
+        bucket = self.staged.frames.shape[0]
+        padded = np.full((bucket, *confs.shape[1:]), -1e9, np.float32)
+        padded[: self.n] = confs
+        thr = float(quantile_threshold(jnp.asarray(padded)))
+        return (confs > thr).sum(axis=(1, 2)), thr
 
 
 @jax.jit

@@ -52,7 +52,7 @@ def make_args(**kw):
 
     d = dict(tiny=False, frames=48, warmup=8, deg_per_frame=2.0,
              auto_bucket=16, sam2_chunk=8, reps=3, skip_frame0=False,
-             skip_smooth=False)
+             skip_smooth=False, no_overlap_smooth=False)
     d.update(kw)
     return types.SimpleNamespace(**d)
 
@@ -69,6 +69,10 @@ def main() -> None:
                     help="steady-state loop repetitions (median reported)")
     ap.add_argument("--skip-frame0", action="store_true")
     ap.add_argument("--skip-smooth", action="store_true")
+    ap.add_argument("--no-overlap-smooth", action="store_true",
+                    help="run the smooth confidence pass serially after the "
+                    "loop (round-3 layout) instead of streaming its chunks "
+                    "behind the propagate+refine loop")
     run_e2e_bench(ap.parse_args())
 
 
@@ -256,12 +260,27 @@ def run_e2e_bench(args) -> dict:
     # propagation then runs with zero per-chunk host uploads).
     frames_dev = jax.block_until_ready(jax.device_put(frames))
 
+    # ---- smooth-stage models, built up-front so the confidence pass can
+    # stream behind the loop (see StreamingInliers) -------------------------#
+    overlap = not (args.skip_smooth or args.no_overlap_smooth)
+    smooth_ctx = None
+    if not args.skip_smooth:
+        smooth_ctx = _build_smooth_ctx(args, mesh, frames, k_full, traj)
+
     def one_rep(rep: int):
         vstate = pred.init_state(frames_dev)
         vstate = pred.add_new_points_or_box(vstate, 0, obj_id=0, box=seed_box)
         chain = AutoRefineChain(
             est, mesh, f"e2e-{rep}", miss_bucket=args.auto_bucket,
         )
+        conf = None
+        if overlap:
+            from freepose_tpu.pipeline.tracking_refiner import StreamingInliers
+
+            conf = StreamingInliers(
+                smooth_ctx["refiner"], smooth_ctx["smesh"], smooth_ctx["staged"],
+                k_full, chunk=8)
+        fed = 0
         gen = pred.propagate_batched(vstate, chunk=args.sam2_chunk)
         t0 = None
         n_timed = 0
@@ -282,16 +301,32 @@ def run_e2e_bench(args) -> dict:
                 )
                 if t0 is not None:
                     n_timed += 1
+            if conf is not None:
+                # Smooth-stage confidence chunks dispatch behind the loop as
+                # the chain finalizes poses (device fills host-stall windows).
+                while fed < len(chain.results):
+                    conf.add(fed, chain.results[fed][0])
+                    fed += 1
         results = chain.finalize_all()
+        if conf is not None:
+            while fed < len(results):
+                conf.add(fed, results[fed][0])
+                fed += 1
+        # The loop window closes after EVERY dispatch (refine + streamed
+        # confidence) is enqueued; in-flight confidence compute drains into
+        # the smooth stage's finalize() wait, so nothing escapes the total.
         dt = time.perf_counter() - t0
         assert len(results) == n_total
-        return 1e3 * dt / max(n_timed, 1), results, chain
+        return 1e3 * dt / max(n_timed, 1), results, chain, conf
 
     loop_ms_reps = []
     results = None
     chain = None
+    conf = None
     for rep in range(args.reps):
-        ms, results, chain = one_rep(rep)
+        ms, results, chain, conf = one_rep(rep)
+        if rep < args.reps - 1 and conf is not None:
+            conf.finalize()  # drain this rep's in-flight confidence work
         loop_ms_reps.append(ms)
     loop_ms = float(np.median(loop_ms_reps))
     # Analytic per-frame FLOP floor of the coupled loop (machine-checkable
@@ -337,8 +372,9 @@ def run_e2e_bench(args) -> dict:
     # ---- smooth stage (track-refine post-pass) --------------------------- #
     smooth_ms = 0.0
     if not args.skip_smooth:
-        smooth_ms = _smooth_stage(args, mesh, frames, k_full, results, stages)
-        print(f"smooth stage: {smooth_ms:.1f} ms/frame")
+        smooth_ms = _smooth_stage(args, smooth_ctx, results, conf, stages)
+        tag = "overlapped: intervals + conf drain" if overlap else "serial"
+        print(f"smooth stage ({tag}): {smooth_ms:.1f} ms/frame")
 
     e2e_ms = loop_ms + frame0_ms / args.frames + smooth_ms
     fps = 1e3 / e2e_ms
@@ -484,16 +520,17 @@ def _frame0_stage(args, frame0, stages: dict) -> float:
     return total
 
 
-def _smooth_stage(args, mesh, frames, k_full, results, stages: dict) -> float:
-    """Track-refine post-pass (smooth_poses_video.smooth_track, pipelined
-    intervals) on the coupled loop's pose track. Returns ms/frame."""
+def _build_smooth_ctx(args, mesh, frames, k_full, traj) -> dict:
+    """Smooth-stage models + HBM-staged video + program warm-up, built BEFORE
+    the coupled loop so the confidence pass can stream behind it."""
     import jax.numpy as jnp
     import numpy as np
 
+    from freepose_tpu.datasets.video import stage_frames_hbm
     from freepose_tpu.models.cotracker import COTRACKER_TEST, PointTracker
     from freepose_tpu.models.dinov2 import VIT_B14_REG, DinoFeatureExtractor, DinoV2Config
     from freepose_tpu.ops.rasterizer import RasterSettings
-    from freepose_tpu.pipeline.tracking_refiner import TrackingRefiner
+    from freepose_tpu.pipeline.tracking_refiner import StreamingInliers, TrackingRefiner
     from scripts.smooth_poses_video import smooth_track
 
     import dataclasses as dc
@@ -517,22 +554,48 @@ def _smooth_stage(args, mesh, frames, k_full, results, stages: dict) -> float:
         max_vertices=max_v, max_faces=max_f, n_surface_samples=n_samples,
         settings=settings, extractor=fe, feature_layer=layer,
     )
-    poses = np.stack([r[0] for r in results])[-len(frames):]
     smesh = mesh.scaled(0.15)
     # Stage the video in HBM once (the data loader's job — untimed, like the
     # propagation stage's pre-staged frames): the smooth pass then does zero
     # per-chunk host uploads, and its programs key on the frame BUCKET, so
     # the short warm-up prefix compiles exactly what the full pass runs.
-    from freepose_tpu.datasets.video import stage_frames_hbm
-
     staged = stage_frames_hbm(np.asarray(frames))
+    # Warm-up: compile the chunked confidence program, quantile (at the
+    # staged bucket), correspondence/track-chain/EPnP interval programs.
+    StreamingInliers(refiner, smesh, staged, k_full, chunk=8).warmup()
     smooth_track(refiner, smesh, staged.prefix(12), jnp.asarray(k_full),
-                 poses[:12], interval=12, pipelined=True, cap=cap)
+                 np.stack(traj[:12]), interval=12, pipelined=True, cap=cap)
+    return {"refiner": refiner, "smesh": smesh, "staged": staged, "cap": cap,
+            "k_full": jnp.asarray(k_full)}
+
+
+def _smooth_stage(args, ctx, results, conf, stages: dict) -> float:
+    """Track-refine post-pass on the coupled loop's pose track. When `conf`
+    is a StreamingInliers fed during the loop, the timed region is only its
+    drain (fetch of in-flight confidence chunks + quantile) plus the interval
+    pass; otherwise the full serial smooth_track. Returns ms/frame."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scripts.smooth_poses_video import smooth_track
+
+    refiner, smesh, staged, cap = ctx["refiner"], ctx["smesh"], ctx["staged"], ctx["cap"]
+    k = ctx["k_full"]
+    poses = np.stack([r[0] for r in results])[-staged.n:]
     t0 = time.perf_counter()
-    smooth_track(refiner, smesh, staged, jnp.asarray(k_full), poses,
-                 interval=12, pipelined=True, cap=cap)
-    ms = 1e3 * (time.perf_counter() - t0) / len(frames)
-    stages["smooth"] = {"ms_per_frame": round(ms, 2), "cap": cap}
+    inliers = None
+    conf_drain_ms = 0.0
+    if conf is not None:
+        inliers, _ = conf.finalize()
+        conf_drain_ms = 1e3 * (time.perf_counter() - t0) / staged.n
+    smooth_track(refiner, smesh, staged, k, poses,
+                 interval=12, pipelined=True, cap=cap, inliers=inliers)
+    ms = 1e3 * (time.perf_counter() - t0) / staged.n
+    stages["smooth"] = {
+        "ms_per_frame": round(ms, 2), "cap": cap,
+        "overlapped": conf is not None,
+        **({"conf_drain_ms_per_frame": round(conf_drain_ms, 2)} if conf is not None else {}),
+    }
     return ms
 
 

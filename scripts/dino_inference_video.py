@@ -85,6 +85,14 @@ def main() -> None:
         "disabled under --shard-refine / --fuse-objects. 12.19 vs 8.05 "
         "FPS/chip measured on one v5e (STATUS.md)",
     )
+    ap.add_argument(
+        "--adaptive-bucket", action="store_true",
+        help="chain refine: escalate/de-escalate the stream miss bucket with "
+        "the observed per-frame miss rate (fast motion grows the bucket "
+        "before overflow forces full re-dispatches; settled motion shrinks "
+        "it). Results are exact either way — the bucket only bounds "
+        "self-served misses + prefetch padding",
+    )
     args = ap.parse_args()
 
     frames = load_frames(args.video_dir)
@@ -225,6 +233,7 @@ def main() -> None:
                         estimator, mesh, mesh_id,
                         neighborhood_deg=args.neighborhood,
                         mask_scores=args.mask_scores,
+                        adaptive_bucket=args.adaptive_bucket,
                     )
                     chain_meta[mesh_id] = []
                     seed = prev_pose[mesh_id]

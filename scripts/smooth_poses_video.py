@@ -46,6 +46,7 @@ def predict_interval(refiner, mesh, frames, k, start_pose, start_idx, indices):
 def smooth_track(
     refiner, mesh, frames, k, poses, interval: int = 12,
     pipelined: bool = True, cap: int = 512, keep_coarse_translation: bool = True,
+    inliers=None,
 ):
     """Full track-refine pass over one video (reference
     smooth_poses_video.py:92-192): confidence scoring picks the best start
@@ -73,14 +74,20 @@ def smooth_track(
     staged = isinstance(frames, StagedVideo)
     if staged and not pipelined:
         raise ValueError("StagedVideo requires pipelined=True")
-    if staged:
-        n = frames.n
-        frames_dev = frames.frames  # [B, H, W, 3] uint8 device
+    n = frames.n if staged else len(frames)
+    if inliers is not None:
+        # Confidence scoring already ran (e.g. a StreamingInliers pass
+        # overlapped with the refine loop) — skip straight to the intervals.
+        inliers = np.asarray(inliers)
+        if len(inliers) != n:
+            raise ValueError(f"inliers length {len(inliers)} != {n} frames")
+    elif staged:
         inliers, _ = refiner.n_inliers_per_pose(
-            mesh, frames_dev.transpose(0, 3, 1, 2), k, poses, n_valid=n)
+            mesh, frames.frames, k, poses, n_valid=n, channels_last=True)
     else:
-        n = len(frames)
         inliers, _ = refiner.n_inliers_per_pose(mesh, frames.transpose(0, 3, 1, 2), k, poses)
+    if staged:
+        frames_dev = frames.frames  # [B, H, W, 3] uint8 device
     best = int(np.argmax(inliers))
     step = interval
     refined: dict[int, np.ndarray] = {}
@@ -152,7 +159,11 @@ def smooth_track(
     out_poses = np.stack([refined.get(i, poses[i]) for i in range(n)])
     if keep_coarse_translation:
         out_poses[:, :3, 3] = poses[:, :3, 3]  # reference :356
-    smoothed = np.asarray(smooth_transforms(jnp.asarray(out_poses, jnp.float32)))
+    # Staged videos pin the smoothing bucket to the HBM buffer length so a
+    # short warm-up prefix compiles the exact program the full pass runs.
+    bucket = int(frames.frames.shape[0]) if staged else None
+    smoothed = np.asarray(
+        smooth_transforms(jnp.asarray(out_poses, jnp.float32), bucket=bucket))
     return smoothed, np.asarray(inliers)
 
 

@@ -373,3 +373,57 @@ def test_auto_chain_matches_serial_closed_loop(setup):
     for gi in range(n_fine):
         if table[gi] >= 0:
             assert grid_of[table[gi]] == gi
+
+
+def test_auto_chain_adaptive_bucket_matches_serial(setup):
+    """adaptive_bucket=True: the stream miss bucket escalates under fast
+    motion (overflow or near-capacity misses) and de-escalates when the
+    trajectory settles, with results EXACTLY equal to the serial closed loop
+    (the bucket caps self-served misses + prefetch padding, never scores)."""
+    renderer, bank, mk = setup
+    mesh = _mesh()
+    est_a = mk(12)
+    est_b = mk(12)
+    fp = np.asarray(est_a.fine_poses)
+
+    # Jumpy prefix (overflows bucket 2), then a SETTLED single-pose tail:
+    # the de-escalation window needs 16 clean frames, and with the tiny
+    # 12-slot cache an alternating tail would keep thrashing (each miss
+    # frame's prefetch padding evicts the other pose's neighbours).
+    traj = [5, 6, 7, 60, 61, 5, 120, 121] + [6] * 24
+    frames = []
+    for gi in traj:
+        gt = jnp.asarray(fp[gi])
+        rgb, depth = renderer.render_from_poses(mesh, gt[None])
+        props, masks, boxes = renderer.generate_proposals(rgb, depth)
+        frames.append((props[0], masks[0], renderer.k, boxes[0].astype(jnp.float32), 0.25))
+    prev0 = jnp.asarray(fp[5])
+
+    serial = []
+    prev = prev0
+    for f in frames:
+        o = est_a.refine_cached(f[0], f[1], mesh, f[2], f[3], f[4], prev, 40.0, cache_key="ck")
+        tc = np.asarray(o.tcos)[0]
+        serial.append((tc, float(np.asarray(o.scores)[0])))
+        prev = jnp.asarray(tc)
+
+    from freepose_tpu.pipeline.online_pose_estimator import AutoRefineChain
+
+    chain = AutoRefineChain(
+        est_b, mesh, "ck", neighborhood_deg=40.0, lag=2, miss_bucket=2,
+        adaptive_bucket=True, bucket_choices=(2, 4, 8),
+    )
+    for i, f in enumerate(frames):
+        chain.submit(*f, prev_pose=prev0 if i == 0 else None)
+    got = chain.finalize_all()
+
+    assert len(got) == len(serial) == len(traj)
+    for (tr, sr), (tg, sg) in zip(serial, got):
+        np.testing.assert_allclose(tg, tr, atol=1e-5)
+        assert abs(sg - sr) < 1e-5
+    # The bucket moved in both directions.
+    ups = [b for _f, b in chain.bucket_switches if b > 2]
+    downs = [b for (_f, b), (_f2, b2) in zip(chain.bucket_switches[1:],
+                                             chain.bucket_switches[:-1]) if b < b2]
+    assert ups, chain.bucket_switches
+    assert downs, chain.bucket_switches

@@ -218,3 +218,56 @@ def test_smooth_track_staged_matches_host(refiner):
         pipelined=True, cap=2000,
     )
     np.testing.assert_allclose(dev2, host2, rtol=1e-4, atol=1e-5)
+
+
+def test_streaming_inliers_matches_batch(refiner):
+    """StreamingInliers (chunks dispatched as poses arrive, in feed order or
+    out of order) must reproduce n_inliers_per_pose on the staged video, and
+    smooth_track(inliers=...) must equal the self-scoring staged path."""
+    from freepose_tpu.datasets.video import stage_frames_hbm
+    from freepose_tpu.pipeline.tracking_refiner import StreamingInliers
+    from scripts.smooth_poses_video import smooth_track
+
+    mesh = _mesh()
+    poses = _gt_poses(t=7)  # non-multiple of chunk: exercises the tail
+    frames = (_render_video(mesh, poses) * 255).astype(np.uint8)
+    staged = stage_frames_hbm(frames, bucket=8)
+    ref_inl, ref_thr = refiner.n_inliers_per_pose(
+        mesh, staged.frames, K, poses, chunk=4, n_valid=7, channels_last=True)
+    ref_inl2, _ = refiner.n_inliers_per_pose(
+        mesh, staged.frames.transpose(0, 3, 1, 2), K, poses, chunk=4, n_valid=7)
+    np.testing.assert_allclose(ref_inl, ref_inl2)
+
+    si = StreamingInliers(refiner, mesh, staged, K, chunk=4)
+    si.warmup()
+    for t in [2, 0, 1, 5, 3, 4, 6]:  # out-of-order feed
+        si.add(t, poses[t])
+    inl, thr = si.finalize()
+    np.testing.assert_allclose(inl, ref_inl)
+    assert thr == pytest.approx(ref_thr)
+
+    full, _ = smooth_track(refiner, mesh, staged, K, poses, interval=4, cap=2000)
+    pre, _ = smooth_track(refiner, mesh, staged, K, poses, interval=4, cap=2000,
+                          inliers=inl)
+    np.testing.assert_allclose(pre, full, rtol=1e-5, atol=1e-6)
+
+
+def test_streaming_inliers_guards(refiner):
+    from freepose_tpu.datasets.video import stage_frames_hbm
+    from freepose_tpu.pipeline.tracking_refiner import StreamingInliers
+
+    mesh = _mesh()
+    poses = _gt_poses(t=3)
+    frames = (_render_video(mesh, poses) * 255).astype(np.uint8)
+    staged = stage_frames_hbm(frames, bucket=4)
+    with pytest.raises(TypeError):
+        StreamingInliers(refiner, mesh, frames, K)
+    with pytest.raises(ValueError):
+        StreamingInliers(refiner, mesh, staged, K, chunk=3)
+    si = StreamingInliers(refiner, mesh, staged, K, chunk=4)
+    si.add(0, poses[0])
+    with pytest.raises(ValueError, match="missing"):
+        si.finalize()
+    # device frames without n_valid must be rejected (ADVICE r3)
+    with pytest.raises(ValueError, match="n_valid"):
+        refiner.n_inliers_per_pose(mesh, staged.frames.transpose(0, 3, 1, 2), K, poses)
