@@ -176,16 +176,31 @@ class MaskRenderer:
     padded meshes with the batched TPU rasterizer at the eval image size, or
     with the native C++ host rasterizer (ops/raster_native.py, same
     conventions — the bop_renderer counterpart) via backend="native" /
-    automatically when no accelerator is attached."""
+    automatically when no accelerator is attached.
+
+    Conventions (pinned by tests/test_cus_convention.py against an analytic
+    silhouette oracle + a numpy GL-convention twin): a camera point X maps
+    to image coordinates (fx*X/Z + cx, fy*Y/Z + cy); pixel (i, j) is lit iff
+    the projected triangle covers the PIXEL CENTRE (i + 0.5, j + 0.5); the
+    viewport origin is the top-left corner of pixel (0, 0). This matches the
+    reference GL path: renderer_vispy.py:26-110 builds its projection from K
+    via misc.calc_calib_proj over a [0, W]x[0, H] viewport, and GL samples
+    coverage at half-integer pixel centres, so a half-pixel offset here
+    would shift every cus/vsd silhouette by one boundary ring."""
 
     def __init__(self, width: int, height: int, max_vertices: int = 8192,
-                 max_faces: int = 16384, backend: str = "auto"):
+                 max_faces: int = 16384, backend: str = "auto",
+                 max_faces_per_tile: int = 256):
         self.size = max(width, height)
         self.width = width
         self.height = height
+        # max_faces_per_tile bounds the per-tile candidate list (faces whose
+        # bbox overlaps a tile beyond it are dropped) — raise it for meshes
+        # much denser than the render resolution (e.g. a finely tessellated
+        # object covering few tiles).
         self.settings = RasterSettings(
             resolution=self.size, tile=37 if self.size % 37 == 0 else 32,
-            max_faces_per_tile=256, depth_only=True,
+            max_faces_per_tile=max_faces_per_tile, depth_only=True,
         )
         self.max_vertices = max_vertices
         self.max_faces = max_faces
