@@ -380,3 +380,48 @@ class PointTracker:
             parts_tr.insert(0, tr_b[::-1])
             parts_sc.insert(0, sc_b[::-1])
         return jnp.concatenate(parts_tr), jnp.concatenate(parts_sc)
+
+    def track_device_batch(self, videos, queries, device_mesh=None, axis: str = "data"):
+        """ZNCC chains for a BATCH of intervals in one dispatch: videos
+        [I, T, H, W, 3], queries [I, N, 2], query frame 0 (the pipelined
+        smooth path's layout) -> (tracks [I, T, N, 2], scores [I, T, N]).
+        Per-interval chains are independent, so with `device_mesh` the
+        interval axis shards over `axis` (each chip scans its own chains) —
+        the smooth stage's multi-chip interval fan-out."""
+        if self.mode == "learned":
+            raise NotImplementedError("batched interval tracking is ZNCC-only")
+        v = jnp.asarray(videos)
+        v = (v.astype(jnp.float32) / 255.0) if v.dtype == jnp.uint8 else v.astype(jnp.float32)
+        q = jnp.asarray(queries, jnp.float32)
+        if device_mesh is None:
+            return _track_chain_batch(v, q)
+        if v.shape[0] % device_mesh.shape[axis]:
+            raise ValueError(
+                f"interval batch {v.shape[0]} must divide over the '{axis}' "
+                f"axis ({device_mesh.shape[axis]} devices)")
+        return _track_chain_batch_sharded(v, q, device_mesh=device_mesh, axis=axis)
+
+
+@jax.jit
+def _track_chain_batch(v: jax.Array, q: jax.Array):
+    """vmapped full-interval chains: prepend the query row (score 1) so the
+    output covers all T frames like track_device with query_frame=0."""
+    def one(video, queries):
+        tr, sc = _track_chain.__wrapped__(video, queries)
+        return (jnp.concatenate([queries[None], tr]),
+                jnp.concatenate([jnp.ones((1, queries.shape[0]), jnp.float32), sc]))
+
+    return jax.vmap(one)(v, q)
+
+
+@partial(jax.jit, static_argnames=("device_mesh", "axis"))
+def _track_chain_batch_sharded(v, q, device_mesh, axis):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    fn = shard_map(
+        lambda vv, qq: _track_chain_batch.__wrapped__(vv, qq),
+        mesh=device_mesh, in_specs=(P(axis), P(axis)), out_specs=P(axis),
+        check_vma=False,
+    )
+    return fn(v, q)

@@ -199,9 +199,59 @@ class TrackingRefiner:
         out = cos * mask37
         return np.asarray(out) if fetch else out
 
+    def pose_confidence_batch_sharded(
+        self, mesh: TriMesh, frames: jax.Array, k: jax.Array, poses: jax.Array,
+        device_mesh, axis: str = "data", fetch: bool = True,
+    ):
+        """pose_confidence_batch with the frame batch sharded over a device
+        mesh axis: each chip crops/renders/featurizes B/n_dev frames (the
+        whole per-frame chain is frame-local, so the only collective is the
+        output gather). This is the smooth stage's scaling axis — at 41
+        ms/frame it is the second-largest e2e stage and is embarrassingly
+        parallel over frames. Parity with pose_confidence_batch is tested on
+        the 8-device CPU mesh."""
+        if self.extractor is None:
+            raise ValueError("sharded confidence requires `extractor` (fused path)")
+        if frames.shape[0] % device_mesh.shape[axis]:
+            raise ValueError(
+                f"batch {frames.shape[0]} must divide over the '{axis}' axis "
+                f"({device_mesh.shape[axis]} devices)")
+        pts = jnp.asarray(mesh.sample_surface(100, seed=42))
+        v, c, f, valid = self._padded(mesh)
+        out = _confidence_batch_fused_sharded(
+            v, c, f, valid, pts, jnp.asarray(frames), k, jnp.asarray(poses),
+            self.extractor.params_for(self.feature_layer), self.settings,
+            self.extractor, self.feature_layer, device_mesh, axis,
+        )
+        return np.asarray(out) if fetch else out
+
+    def correspondences_batch(
+        self, mesh: TriMesh, k: jax.Array, poses: jax.Array, seed: int = 0,
+        device_mesh=None, axis: str = "data",
+    ):
+        """compute_2d3d_correspondences for a BATCH of interval-start poses
+        in one program: one batched render over all starts, then the patch
+        binning vmapped per start — [I, G², 2] query px, [I, G², 3] surface
+        points, [I, G²] valid. With `device_mesh`, the start axis shards over
+        `axis` (each chip renders+bins its own intervals)."""
+        pts100 = jnp.asarray(mesh.sample_surface(100, seed=42))
+        surf = jnp.asarray(mesh.sample_surface(self.n_surface_samples, seed=seed))
+        v, c, f, fv = self._padded(mesh, 0.8)
+        args = (v, c, f, fv, pts100, surf, jnp.asarray(k, jnp.float32),
+                jnp.asarray(poses, jnp.float32))
+        if device_mesh is None:
+            return _correspondences_batch_jit(*args, settings=self.settings)
+        if poses.shape[0] % device_mesh.shape[axis]:
+            raise ValueError(
+                f"interval batch {poses.shape[0]} must divide over the "
+                f"'{axis}' axis ({device_mesh.shape[axis]} devices)")
+        return _correspondences_batch_sharded(
+            *args, settings=self.settings, device_mesh=device_mesh, axis=axis)
+
     def n_inliers_per_pose(
         self, mesh: TriMesh, frames, k: jax.Array, poses: np.ndarray,
         chunk: int = 8, n_valid: int | None = None, channels_last: bool = False,
+        device_mesh=None, mesh_axis: str = "data",
     ):
         """Confidence + inlier count for every frame (reference :92-100).
 
@@ -255,8 +305,13 @@ class TrackingRefiner:
             # Enqueue every chunk's program; fetch ONCE after the loop (each
             # result starts its host copy async) — a per-chunk blocking fetch
             # would add a tunnel round trip per chunk and stall dispatch.
-            out = self.pose_confidence_batch(
-                mesh, cur, k, jnp.asarray(padded(poses, i)), fetch=False)
+            if device_mesh is not None:
+                out = self.pose_confidence_batch_sharded(
+                    mesh, cur, k, jnp.asarray(padded(poses, i)),
+                    device_mesh, axis=mesh_axis, fetch=False)
+            else:
+                out = self.pose_confidence_batch(
+                    mesh, cur, k, jnp.asarray(padded(poses, i)), fetch=False)
             try:
                 out.copy_to_host_async()
             except Exception:
@@ -496,6 +551,30 @@ def _confidence_batch_fused(
     return cos * mask37
 
 
+@partial(jax.jit, static_argnames=("settings", "extractor", "layer", "device_mesh", "axis"))
+def _confidence_batch_fused_sharded(
+    v, c, f, fv, pts, frames, k, poses, fe_params, settings, extractor, layer,
+    device_mesh, axis,
+):
+    """_confidence_batch_fused with the frame batch sharded over `axis`:
+    the per-frame chain has no cross-frame dependency, so each shard runs
+    the identical local program and only the output gathers."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(v_, c_, f_, fv_, pts_, fr, k_, po, fp):
+        return _confidence_batch_fused.__wrapped__(
+            v_, c_, f_, fv_, pts_, fr, k_, po, fp, settings, extractor, layer)
+
+    fn = shard_map(
+        local, mesh=device_mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(axis), P(), P(axis), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return fn(v, c, f, fv, pts, frames, k, poses, fe_params)
+
+
 @partial(jax.jit, static_argnames=("settings", "has_mask"))
 def _correspondences_jit(
     v, c, f, fv, pts100, surf, k, pose, mask, settings, has_mask
@@ -512,6 +591,13 @@ def _correspondences_jit(
         combined = mask37 & mask37_crop
         mask37 = jnp.where(jnp.sum(combined) >= 4, combined, mask37)
 
+    return _bin_surface_to_patches(surf, pose, new_k, mask37, bbox)
+
+
+def _bin_surface_to_patches(surf, pose, new_k, mask37, bbox):
+    """Project surface samples into the 37x37 crop grid and pick, per patch,
+    a near-centre point closest to the camera (reference :102-158; shared by
+    the single-pose and batched correspondence programs)."""
     cam = surf @ pose[:3, :3].T + pose[:3, 3]
     uvw = cam @ new_k.T
     uv = uvw[:, :2] / jnp.maximum(uvw[:, 2:3], 1e-6)
@@ -550,3 +636,40 @@ def _correspondences_jit(
     x1, y1, x2, y2 = bbox
     query = pts_crop / RES * jnp.stack([x2 - x1, y2 - y1]) + jnp.stack([x1, y1])
     return query, surface_points, valid
+
+
+def _correspondences_batch_core(v, c, f, fv, pts100, surf, k, poses, settings):
+    """Batched correspondences: ONE batched render over all interval starts
+    (the rasterizer natively batches poses — no vmap over the Pallas kernel),
+    then the pure-jnp patch binning vmapped per start."""
+    bboxes = crop_bbox_around_projection(poses, pts100, k, RES, RES, lamb=1.4)
+    new_ks = update_k_with_crop(k, bboxes, RES, RES)  # [I, 3, 3]
+    _, depths = rasterize(v, c, f, fv, poses, new_ks, settings)
+    mask37 = resize_area((depths > 0).astype(jnp.float32), (GRID, GRID)) > 0.5
+    return jax.vmap(
+        lambda po, nk, m37, bb: _bin_surface_to_patches(surf, po, nk, m37, bb)
+    )(poses, new_ks, mask37, bboxes)
+
+
+@partial(jax.jit, static_argnames=("settings",))
+def _correspondences_batch_jit(v, c, f, fv, pts100, surf, k, poses, settings):
+    return _correspondences_batch_core(v, c, f, fv, pts100, surf, k, poses, settings)
+
+
+@partial(jax.jit, static_argnames=("settings", "device_mesh", "axis"))
+def _correspondences_batch_sharded(
+    v, c, f, fv, pts100, surf, k, poses, settings, device_mesh, axis
+):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(v_, c_, f_, fv_, p100, sf, k_, po):
+        return _correspondences_batch_core(v_, c_, f_, fv_, p100, sf, k_, po, settings)
+
+    fn = shard_map(
+        local, mesh=device_mesh,
+        in_specs=(P(), P(), P(), P(), P(), P(), P(), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+    return fn(v, c, f, fv, pts100, surf, k, poses)

@@ -52,7 +52,7 @@ def make_args(**kw):
 
     d = dict(tiny=False, frames=48, warmup=8, deg_per_frame=2.0,
              auto_bucket=16, sam2_chunk=8, reps=3, skip_frame0=False,
-             skip_smooth=False, no_overlap_smooth=False)
+             skip_smooth=False, no_overlap_smooth=False, no_motion_sweep=False)
     d.update(kw)
     return types.SimpleNamespace(**d)
 
@@ -73,6 +73,9 @@ def main() -> None:
                     help="run the smooth confidence pass serially after the "
                     "loop (round-3 layout) instead of streaming its chunks "
                     "behind the propagate+refine loop")
+    ap.add_argument("--no-motion-sweep", action="store_true",
+                    help="skip the 4deg/frame + direction-reversal robustness "
+                    "stages (recorded in the stages dict, not the headline)")
     run_e2e_bench(ap.parse_args())
 
 
@@ -110,6 +113,49 @@ def _make_mesh(n_lat, n_lon, rng):
     v = np.asarray(verts, np.float32)
     v /= np.abs(v).max()
     return TriMesh(v, np.asarray(faces, np.int32), rng.random((len(v), 3)).astype(np.float32))
+
+
+def _make_video(rng, renderer, mesh, est, hw, res, n_total, deg_per_frame,
+                reverse_at: int | None = None):
+    """Analytic trajectory (wobbling-axis rotation at `deg_per_frame`;
+    `reverse_at` flips the rotation direction at that frame — the fine
+    cache's worst case, re-entering just-evicted views) rendered and
+    composited into noise frames. -> (traj, frames u8 [T,H,W,3], true_masks)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    fp = np.asarray(est.fine_poses)
+    traj = [fp[123].copy()]
+    axis = np.array([0.3, 1.0, 0.2])
+    sign = 1.0
+    for t in range(n_total):
+        if reverse_at is not None and t == reverse_at:
+            sign = -sign
+        p = traj[-1].copy()
+        axis = axis + 0.05 * rng.standard_normal(3)
+        p[:3, :3] = _axis_angle(axis, sign * deg_per_frame) @ p[:3, :3]
+        traj.append(p)
+    traj = traj[:n_total]
+
+    rgbs, depths = [], []
+    bs = 8
+    for i in range(0, n_total, bs):
+        r, d = renderer.render_from_poses(mesh, jnp.asarray(np.stack(traj[i : i + bs])))
+        rgbs.append(np.asarray(r))
+        depths.append(np.asarray(d))
+    rgbs = np.concatenate(rgbs)  # [T, R, R, 3] in [0, 1]
+    masks_r = np.concatenate(depths) > 0  # [T, R, R]
+    frames = rng.integers(0, 60, size=(n_total, *hw, 3), dtype=np.uint8)
+    oy, ox = (hw[0] - res) // 2, (hw[1] - res) // 2
+    true_masks = np.zeros((n_total, *hw), bool)
+    for t in range(n_total):
+        region = frames[t, oy : oy + res, ox : ox + res]
+        rendered = (rgbs[t] * 255).astype(np.uint8)
+        frames[t, oy : oy + res, ox : ox + res] = np.where(
+            masks_r[t][..., None], rendered, region
+        )
+        true_masks[t, oy : oy + res, ox : ox + res] = masks_r[t]
+    return traj, frames, true_masks
 
 
 def _tunnel_rtt_ms() -> float:
@@ -186,35 +232,8 @@ def run_e2e_bench(args) -> dict:
     # plus whole chunks (timing starts exactly at a batch boundary).
     warmup_frames = 1 + max(1, -(-max(args.warmup - 1, 1) // args.sam2_chunk)) * args.sam2_chunk
     n_total = args.frames + warmup_frames
-    fp = np.asarray(est.fine_poses)
-    traj = [fp[123].copy()]
-    axis = np.array([0.3, 1.0, 0.2])
-    for _ in range(n_total):
-        p = traj[-1].copy()
-        axis = axis + 0.05 * rng.standard_normal(3)
-        p[:3, :3] = _axis_angle(axis, args.deg_per_frame) @ p[:3, :3]
-        traj.append(p)
-    traj = traj[:n_total]
-
-    # Render the object along the track and composite into noise frames.
-    rgbs, depths = [], []
-    bs = 8
-    for i in range(0, n_total, bs):
-        r, d = renderer.render_from_poses(mesh, jnp.asarray(np.stack(traj[i : i + bs])))
-        rgbs.append(np.asarray(r))
-        depths.append(np.asarray(d))
-    rgbs = np.concatenate(rgbs)  # [T, R, R, 3] in [0, 1]
-    masks_r = np.concatenate(depths) > 0  # [T, R, R]
-    frames = rng.integers(0, 60, size=(n_total, *hw, 3), dtype=np.uint8)
-    oy, ox = (hw[0] - res) // 2, (hw[1] - res) // 2
-    true_masks = np.zeros((n_total, *hw), bool)
-    for t in range(n_total):
-        region = frames[t, oy : oy + res, ox : ox + res]
-        rendered = (rgbs[t] * 255).astype(np.uint8)
-        frames[t, oy : oy + res, ox : ox + res] = np.where(
-            masks_r[t][..., None], rendered, region
-        )
-        true_masks[t, oy : oy + res, ox : ox + res] = masks_r[t]
+    traj, frames, true_masks = _make_video(
+        rng, renderer, mesh, est, hw, res, n_total, args.deg_per_frame)
     k_full = jnp.asarray(
         [[hw[1] * 0.9, 0, hw[1] / 2], [0, hw[1] * 0.9, hw[0] / 2], [0, 0, 1]],
         jnp.float32,
@@ -267,19 +286,16 @@ def run_e2e_bench(args) -> dict:
     if not args.skip_smooth:
         smooth_ctx = _build_smooth_ctx(args, mesh, frames, k_full, traj)
 
-    def one_rep(rep: int):
-        vstate = pred.init_state(frames_dev)
-        vstate = pred.add_new_points_or_box(vstate, 0, obj_id=0, box=seed_box)
+    def _coupled_loop(frames_dev_, true_dev_, traj_, seed_box_, cache_tag, conf):
+        """One full pass: SAM2 chunked propagation device-coupled into the
+        adaptive refine chain, optionally streaming smooth-confidence chunks
+        (conf) behind it. -> (ms/frame, results, chain)."""
+        vstate = pred.init_state(frames_dev_)
+        vstate = pred.add_new_points_or_box(vstate, 0, obj_id=0, box=seed_box_)
         chain = AutoRefineChain(
-            est, mesh, f"e2e-{rep}", miss_bucket=args.auto_bucket,
+            est, mesh, cache_tag, miss_bucket=args.auto_bucket,
+            adaptive_bucket=True, bucket_choices=(8, 16, 32),
         )
-        conf = None
-        if overlap:
-            from freepose_tpu.pipeline.tracking_refiner import StreamingInliers
-
-            conf = StreamingInliers(
-                smooth_ctx["refiner"], smooth_ctx["smesh"], smooth_ctx["staged"],
-                k_full, chunk=8)
         fed = 0
         gen = pred.propagate_batched(vstate, chunk=args.sam2_chunk)
         t0 = None
@@ -290,14 +306,14 @@ def run_e2e_bench(args) -> dict:
                 t0 = time.perf_counter()
             # Device coupling: SAM2 masks (object 0) feed the fused
             # mask->bbox->crop program together with the batch's frames.
-            m = highs[:, 0] | true_dev[ts[0] : ts[-1] + 1]
+            m = highs[:, 0] | true_dev_[ts[0] : ts[-1] + 1]
             crops, pmasks, bboxes = proposals_from_masks_video(
                 frames_b, m, target_size=res, bbox_extend=0.2,
             )
             for z, t in enumerate(ts):
                 chain.submit(
                     crops[z], pmasks[z], k_full, bboxes[z], 0.15,
-                    prev_pose=jnp.asarray(traj[0]) if t == 0 else None,
+                    prev_pose=jnp.asarray(traj_[0]) if t == 0 else None,
                 )
                 if t0 is not None:
                     n_timed += 1
@@ -316,8 +332,20 @@ def run_e2e_bench(args) -> dict:
         # confidence) is enqueued; in-flight confidence compute drains into
         # the smooth stage's finalize() wait, so nothing escapes the total.
         dt = time.perf_counter() - t0
-        assert len(results) == n_total
-        return 1e3 * dt / max(n_timed, 1), results, chain, conf
+        assert len(results) == len(traj_)
+        return 1e3 * dt / max(n_timed, 1), results, chain
+
+    def one_rep(rep: int):
+        conf = None
+        if overlap:
+            from freepose_tpu.pipeline.tracking_refiner import StreamingInliers
+
+            conf = StreamingInliers(
+                smooth_ctx["refiner"], smooth_ctx["smesh"], smooth_ctx["staged"],
+                k_full, chunk=8)
+        ms, results, chain = _coupled_loop(
+            frames_dev, true_dev, traj, seed_box, f"e2e-{rep}", conf)
+        return ms, results, chain, conf
 
     loop_ms_reps = []
     results = None
@@ -347,6 +375,16 @@ def run_e2e_bench(args) -> dict:
     mean_miss = float(np.mean(chain.miss_counts)) if chain.miss_counts else 0.0
     refine_imgs = 1.0 + mean_miss
     loop_flops = trunk_flops + refine_imgs * vit_flops
+    if overlap:
+        # The streamed smooth-confidence chunks now execute inside the loop
+        # window: 2 ViT-B images (photo crop + render) per frame join the
+        # analytic floor so achieved_tflops stays an honest ratio.
+        bcfg = smooth_ctx["refiner"].extractor.config
+        b_tokens = (518 // bcfg.patch_size) ** 2 + 1 + bcfg.num_registers
+        conf_flops = 2 * bcfg.num_layers * (
+            b_tokens * 12 * bcfg.hidden_size**2 + 4 * b_tokens**2 * bcfg.hidden_size
+        ) * 2
+        loop_flops += conf_flops
     stages["sam2_refine_coupled"] = {
         "ms_per_frame": round(loop_ms, 2),
         "rep_ms": [round(m, 2) for m in loop_ms_reps],
@@ -357,6 +395,7 @@ def run_e2e_bench(args) -> dict:
         "frames": args.frames,
         "analytic_tflop_per_frame": round(loop_flops / 1e12, 3),
         "achieved_tflops": round(loop_flops / 1e9 / loop_ms, 1),
+        "adaptive_bucket_switches": [list(s) for s in chain.bucket_switches],
     }
     print(f"sam2+refine coupled: {loop_ms:.1f} ms/frame "
           f"(reps {['%.1f' % m for m in loop_ms_reps]}, "
@@ -375,6 +414,38 @@ def run_e2e_bench(args) -> dict:
         smooth_ms = _smooth_stage(args, smooth_ctx, results, conf, stages)
         tag = "overlapped: intervals + conf drain" if overlap else "serial"
         print(f"smooth stage ({tag}): {smooth_ms:.1f} ms/frame")
+
+    # ---- motion robustness: 4 deg/frame + direction reversal ------------- #
+    # (recorded stages, not the headline: the fine cache must neither cliff
+    # at high motion rates nor on re-entering just-evicted views)
+    if not args.no_motion_sweep:
+        motion = {}
+        sweeps = (
+            ("deg4", 4.0, None),
+            ("reversal", max(args.deg_per_frame, 2.0), warmup_frames + args.frames // 2),
+        )
+        for tag, deg, rev in sweeps:
+            traj_m, frames_m, true_m = _make_video(
+                rng, renderer, mesh, est, hw, res, n_total, deg, reverse_at=rev)
+            fd = jax.block_until_ready(jax.device_put(frames_m))
+            td = jnp.asarray(true_m)
+            ys_m, xs_m = np.nonzero(true_m[0])
+            sb = np.array([xs_m.min(), ys_m.min(), xs_m.max() + 1, ys_m.max() + 1], np.float32)
+            ms_m, _rm, ch_m = _coupled_loop(fd, td, traj_m, sb, f"motion-{tag}", None)
+            motion[tag] = {
+                "ms_per_frame": round(ms_m, 2), "fps": round(1e3 / ms_m, 2),
+                "deg_per_frame": deg,
+                **({"reversal_at_frame": rev - warmup_frames} if rev else {}),
+                "miss_frames": int(sum(1 for mm in ch_m.miss_counts if mm)),
+                "mean_miss_views_per_frame": round(
+                    float(np.mean(ch_m.miss_counts)) if ch_m.miss_counts else 0.0, 2),
+                "full_redispatches": ch_m.n_full_redispatch,
+                "bucket_switches": [list(s) for s in ch_m.bucket_switches],
+            }
+            print(f"motion[{tag}]: {ms_m:.1f} ms/frame = {1e3 / ms_m:.2f} FPS "
+                  f"(switches {ch_m.bucket_switches}, "
+                  f"{ch_m.n_full_redispatch} full re-dispatches)")
+        stages["motion"] = motion
 
     e2e_ms = loop_ms + frame0_ms / args.frames + smooth_ms
     fps = 1e3 / e2e_ms

@@ -43,10 +43,59 @@ def predict_interval(refiner, mesh, frames, k, start_pose, start_idx, indices):
     return {frame_idx: poses[li] for li, frame_idx in enumerate(indices)}
 
 
+def _sharded_intervals(
+    refiner, mesh, frames_dev, k, poses, starts, step, n, cap,
+    refined: dict, device_mesh, mesh_axis: str,
+) -> None:
+    """All intervals as ONE batched, mesh-sharded program chain: batched
+    correspondences render + top-cap selection + batched ZNCC chains, the
+    interval axis sharded over `mesh_axis` (padded with repeats of the last
+    start; padded rows discarded). Numerics match the single-device
+    pipelined path: the selection comparator, chain and masked EPnP are
+    identical per interval."""
+    n_dev = device_mesh.shape[mesh_axis]
+    pad_i = (-len(starts)) % n_dev
+    starts_pad = list(starts) + [starts[-1]] * pad_i
+    poses_b = jnp.asarray(np.stack([poses[s] for s in starts_pad]), jnp.float32)
+    query_b, surface_b, valid_b = refiner.correspondences_batch(
+        mesh, k, poses_b, device_mesh=device_mesh, axis=mesh_axis)
+    g2 = valid_b.shape[1]
+    order_b = jnp.argsort(
+        jnp.where(valid_b, 0, g2 + 1) + jnp.arange(g2)[None], axis=1
+    )[:, : min(cap, g2)]
+    qs_b = jnp.take_along_axis(query_b, order_b[..., None], axis=1)
+    ss_b = jnp.take_along_axis(surface_b, order_b[..., None], axis=1)
+    vs_b = jnp.take_along_axis(valid_b, order_b, axis=1)
+    idx_rows = []
+    for s in starts_pad:
+        idxs = list(range(s, min(s + step, n)))
+        idx_rows.append([min(max(i, 0), n - 1) for i in idxs] + [idxs[-1]] * (step - len(idxs)))
+    subs = jnp.take(frames_dev, jnp.asarray(np.asarray(idx_rows, np.int32)), axis=0)
+    tracks_b, scores_b = refiner.tracker.track_device_batch(
+        subs, qs_b, device_mesh=device_mesh, axis=mesh_axis)
+    tracks_np = np.asarray(tracks_b)
+    scores_np = np.asarray(scores_b)
+    vs_np_b = np.asarray(vs_b)
+    ss_np_b = np.asarray(ss_b)
+    for ii, s in enumerate(starts):
+        idxs = list(range(s, min(s + step, n)))
+        if vs_np_b[ii].sum() < 4:
+            for i in idxs:
+                refined[i] = poses[s]
+            continue
+        vis = scores_np[ii] > 0.5
+        pv = refiner.compute_pnp_batch(
+            jnp.asarray(tracks_np[ii]), jnp.asarray(ss_np_b[ii]),
+            jnp.asarray(vis) & jnp.asarray(vs_np_b[ii])[None], k,
+        )
+        for li, fi in enumerate(idxs):
+            refined[fi] = np.asarray(pv[li])
+
+
 def smooth_track(
     refiner, mesh, frames, k, poses, interval: int = 12,
     pipelined: bool = True, cap: int = 512, keep_coarse_translation: bool = True,
-    inliers=None,
+    inliers=None, device_mesh=None, mesh_axis: str = "data",
 ):
     """Full track-refine pass over one video (reference
     smooth_poses_video.py:92-192): confidence scoring picks the best start
@@ -68,7 +117,14 @@ def smooth_track(
     whole video already in HBM at a bucketed length): the staged path slices
     confidence chunks and gathers interval frames ON DEVICE — zero per-chunk
     host uploads, and every program keys on the bucket, not the video length
-    (requires pipelined=True)."""
+    (requires pipelined=True).
+
+    `device_mesh` (staged + pipelined only) shards the whole pass over the
+    mesh's `mesh_axis`: confidence chunks fan frames out per chip, and the
+    intervals run as ONE batched program — batched correspondences render +
+    batched ZNCC chains — with the interval axis sharded (each chip scans
+    its own intervals). Results equal the single-device pipelined path
+    (parity-tested on the 8-device CPU mesh)."""
     from freepose_tpu.datasets.video import StagedVideo
 
     staged = isinstance(frames, StagedVideo)
@@ -83,16 +139,24 @@ def smooth_track(
             raise ValueError(f"inliers length {len(inliers)} != {n} frames")
     elif staged:
         inliers, _ = refiner.n_inliers_per_pose(
-            mesh, frames.frames, k, poses, n_valid=n, channels_last=True)
+            mesh, frames.frames, k, poses, n_valid=n, channels_last=True,
+            device_mesh=device_mesh, mesh_axis=mesh_axis)
     else:
         inliers, _ = refiner.n_inliers_per_pose(mesh, frames.transpose(0, 3, 1, 2), k, poses)
+    if device_mesh is not None and not staged:
+        raise ValueError("device_mesh requires an HBM StagedVideo")
     if staged:
         frames_dev = frames.frames  # [B, H, W, 3] uint8 device
     best = int(np.argmax(inliers))
     step = interval
     refined: dict[int, np.ndarray] = {}
     starts = sorted(set(list(range(best, n, step)) + list(range(best, -1, -step))))
-    if not pipelined:
+    starts = [s for s in starts if s < n]
+    if device_mesh is not None:
+        _sharded_intervals(
+            refiner, mesh, frames_dev, k, poses, starts, step, n, cap,
+            refined, device_mesh, mesh_axis)
+    elif not pipelined:
         for s in starts:
             idxs = list(range(s, min(s + step, n)))
             if idxs:
@@ -181,6 +245,9 @@ def main() -> None:
     ap.add_argument("--tracker-weights", default=None,
                     help="converted CoTracker2 params (.npz) from "
                          "scripts/convert_weights.py --kind cotracker2-hub")
+    ap.add_argument("--tracker-config", default=None,
+                    help="JSON file of CoTracker2Config field overrides "
+                         "(small rigs / CI; default: the released COTRACKER2)")
     ap.add_argument("--interval", type=int, default=12)
     ap.add_argument("--keep-coarse-translation", action="store_true", default=True)
     ap.add_argument("--exact-intervals", action="store_true",
@@ -213,9 +280,18 @@ def main() -> None:
         from freepose_tpu.models.cotracker2 import COTRACKER2, CoTracker2Predictor
         from scripts.common import load_params
 
+        tcfg = COTRACKER2
+        if args.tracker_config:
+            import dataclasses as _dc
+            import json as _json
+
+            over = _json.loads(Path(args.tracker_config).read_text())
+            if "model_resolution" in over:
+                over["model_resolution"] = tuple(over["model_resolution"])
+            tcfg = _dc.replace(tcfg, **over)
         params = (load_params(args.tracker_weights) if args.tracker_weights
-                  else CoTracker2Predictor.init_params(COTRACKER2))
-        tracker = CoTracker2Predictor(params)
+                  else CoTracker2Predictor.init_params(tcfg))
+        tracker = CoTracker2Predictor(params, tcfg)
     else:
         tracker = PointTracker(mode="correlation")
     refiner = TrackingRefiner(

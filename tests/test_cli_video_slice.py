@@ -184,6 +184,58 @@ def test_video_inference_no_rescore_dumps_scores(video_ws):
     assert len(track) == 5
 
 
+def test_smooth_cotracker2_tracker_cli(video_ws):
+    """smooth_poses_video --tracker cotracker2 with a small-rig
+    --tracker-config JSON: the production CoTracker2 path (predictor
+    front end + TrackingRefiner wiring) must run end-to-end and emit valid
+    orthonormal poses. Pixel ACCURACY of this path is bounded by
+    tests/test_cotracker2.py::test_production_predictor_px_accuracy."""
+    import dataclasses as dc
+
+    from freepose_tpu.models.cotracker2 import COTRACKER2_TEST, CoTracker2Predictor
+
+    ws = video_ws
+    cfg = dc.replace(COTRACKER2_TEST, model_resolution=(48, 64))
+    cfg_json = {
+        f.name: getattr(cfg, f.name) for f in dc.fields(cfg)
+        if f.name not in ("dtype", "precision")
+    }
+    cfg_json["model_resolution"] = list(cfg.model_resolution)
+    (ws / "ct2_cfg.json").write_text(json.dumps(cfg_json))
+    params = CoTracker2Predictor.init_params(cfg)
+    import jax
+
+    flat = {"/".join(p.key for p in path): np.asarray(leaf)
+            for path, leaf in jax.tree_util.tree_leaves_with_path(params)}
+    np.savez(ws / "ct2.npz", **flat)
+    # Self-contained coarse track (GT poses) — no dependency on earlier tests.
+    from freepose_tpu.io.bop_csv import PoseResult, write_results_csv
+
+    results = []
+    for t in range(5):
+        R = Rot.from_rotvec([0, 0.06 * t, 0.02 * t]).as_matrix()
+        results.append(PoseResult(
+            scene_id=0, im_id=t, obj_id="blobmesh", score=0.9, R=R,
+            t=np.array([0.02 * t - 0.02, 0.0, 1.2]),
+            bbox_visib=np.array([0, 0, 10, 10]), scale=0.12, time=0.01,
+        ))
+    write_results_csv(results, ws / "ct2-coarse.csv", t_scale=1.0)
+    _run([
+        "scripts.smooth_poses_video", "--video-dir", str(ws / "frames"),
+        "--poses", str(ws / "ct2-coarse.csv"), "--mesh-dir", str(ws / "meshes"),
+        "--out", str(ws / "vid-ct2.csv"), "--interval", "3",
+        "--tracker", "cotracker2", "--tracker-weights", str(ws / "ct2.npz"),
+        "--tracker-config", str(ws / "ct2_cfg.json"),
+    ])
+    from freepose_tpu.io.bop_csv import read_results_csv
+
+    refined = read_results_csv(ws / "vid-ct2.csv", t_scale=1.0)
+    assert len(refined) == 5
+    for r in refined:
+        np.testing.assert_allclose(r.R @ r.R.T, np.eye(3), atol=1e-3)
+        assert np.isfinite(r.t).all()
+
+
 def test_video_proposals_cli_runs(video_ws):
     """extract_proposals_ground_video end-to-end: frame-0 boxes -> SAM2
     propagation -> FFA retrieval -> soft voting -> proposal JSON. With

@@ -523,6 +523,50 @@ def test_full_forward_multi_window_tame_weights_tight_parity():
     np.testing.assert_allclose(np.asarray(vis), ref_vis.numpy(), atol=5e-3)
 
 
+def _craft_corr_argmax(full, cfg, a=2.0, thr0=2.5, thr1=0.9, g=0.05) -> None:
+    """Hand-craft `full`'s update former into a coarse-to-fine correlation
+    argmax (see test_synthetic_motion_known_gt_tracks's docstring): zeroed
+    attention residuals, input_transform routing level-0/1 corr taps,
+    time-block-0 MLP thresholding, flow_head reading offset-weighted taps."""
+    lat, r = cfg.latent_dim, cfg.corr_radius
+    side = 2 * r + 1
+    n01 = 2 * side * side
+    flow_dims = 2 + 2 * cfg.flow_emb_dim
+    hid = cfg.hidden_size
+    with torch.no_grad():
+        for blk in list(full.updateformer.time_blocks) + list(full.updateformer.space_virtual_blocks):
+            blk.attn.to_out.weight.zero_(); blk.attn.to_out.bias.zero_()
+            blk.mlp.fc2.weight.zero_(); blk.mlp.fc2.bias.zero_()
+        for blk in list(full.updateformer.space_point2virtual_blocks) + list(full.updateformer.space_virtual2point_blocks):
+            blk.cross_attn.to_out.weight.zero_(); blk.cross_attn.to_out.bias.zero_()
+            blk.mlp.fc2.weight.zero_(); blk.mlp.fc2.bias.zero_()
+        wt = torch.zeros(hid, cfg.input_dim)
+        for j in range(n01):
+            wt[j, flow_dims + j] = 1.0
+        full.updateformer.input_transform.weight.copy_(wt)
+        full.updateformer.input_transform.bias.zero_()
+        blk0 = full.updateformer.time_blocks[0]
+        w1 = torch.zeros(blk0.mlp.fc1.out_features, hid)
+        b1 = torch.zeros(blk0.mlp.fc1.out_features)
+        for j in range(n01):
+            w1[j, j] = a
+            b1[j] = -a * (thr0 if j < side * side else thr1)
+        blk0.mlp.fc1.weight.copy_(w1); blk0.mlp.fc1.bias.copy_(b1)
+        w2 = torch.zeros(hid, blk0.mlp.fc1.out_features)
+        for j in range(n01):
+            w2[n01 + j, j] = 1.0
+        blk0.mlp.fc2.weight.copy_(w2); blk0.mlp.fc2.bias.zero_()
+        wf = torch.zeros(lat + 2, hid)
+        for lv in range(2):
+            for j in range(side * side):
+                wf[0, n01 + lv * side * side + j] = g * (2 ** lv) * (j // side - r)
+                wf[1, n01 + lv * side * side + j] = g * (2 ** lv) * (j % side - r)
+        full.updateformer.flow_head.weight.copy_(wf)
+        full.updateformer.flow_head.bias.zero_()
+        full.track_feat_updater[0].weight.zero_(); full.track_feat_updater[0].bias.zero_()
+        full.vis_predictor[0].weight.zero_(); full.vis_predictor[0].bias.fill_(10.0)
+
+
 def test_synthetic_motion_known_gt_tracks():
     """End-to-end MOTION ACCURACY against known ground truth — no trained
     checkpoint needed. The update former's weights are HAND-CRAFTED into a
@@ -576,39 +620,8 @@ def test_synthetic_motion_known_gt_tracks():
          np.full(t_frames, queries[0, 2])], axis=-1,
     )
 
+    _craft_corr_argmax(full, cfg, a=a, thr0=thr0, thr1=thr1, g=g)
     with torch.no_grad():
-        for blk in list(full.updateformer.time_blocks) + list(full.updateformer.space_virtual_blocks):
-            blk.attn.to_out.weight.zero_(); blk.attn.to_out.bias.zero_()
-            blk.mlp.fc2.weight.zero_(); blk.mlp.fc2.bias.zero_()
-        for blk in list(full.updateformer.space_point2virtual_blocks) + list(full.updateformer.space_virtual2point_blocks):
-            blk.cross_attn.to_out.weight.zero_(); blk.cross_attn.to_out.bias.zero_()
-            blk.mlp.fc2.weight.zero_(); blk.mlp.fc2.bias.zero_()
-        wt = torch.zeros(hid, cfg.input_dim)
-        for j in range(n01):
-            wt[j, flow_dims + j] = 1.0
-        full.updateformer.input_transform.weight.copy_(wt)
-        full.updateformer.input_transform.bias.zero_()
-        blk0 = full.updateformer.time_blocks[0]
-        w1 = torch.zeros(blk0.mlp.fc1.out_features, hid)
-        b1 = torch.zeros(blk0.mlp.fc1.out_features)
-        for j in range(n01):
-            w1[j, j] = a
-            b1[j] = -a * (thr0 if j < side * side else thr1)
-        blk0.mlp.fc1.weight.copy_(w1); blk0.mlp.fc1.bias.copy_(b1)
-        w2 = torch.zeros(hid, blk0.mlp.fc1.out_features)
-        for j in range(n01):
-            w2[n01 + j, j] = 1.0
-        blk0.mlp.fc2.weight.copy_(w2); blk0.mlp.fc2.bias.zero_()
-        wf = torch.zeros(lat + 2, hid)
-        for lv in range(2):
-            for j in range(side * side):
-                wf[0, n01 + lv * side * side + j] = g * (2 ** lv) * (j // side - r)
-                wf[1, n01 + lv * side * side + j] = g * (2 ** lv) * (j % side - r)
-        full.updateformer.flow_head.weight.copy_(wf)
-        full.updateformer.flow_head.bias.zero_()
-        full.track_feat_updater[0].weight.zero_(); full.track_feat_updater[0].bias.zero_()
-        full.vis_predictor[0].weight.zero_(); full.vis_predictor[0].bias.fill_(10.0)
-
         ref_tracks, _ = full(
             torch.tensor(video).permute(0, 3, 1, 2), torch.tensor(queries), iters=iters
         )
@@ -756,3 +769,55 @@ def test_released_layout_converter_and_forward():
     )
     np.testing.assert_allclose(np.asarray(tracks), ref_tracks.numpy(), atol=2e-2, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(vis), ref_vis.numpy(), atol=1e-2)
+
+
+def test_production_predictor_px_accuracy():
+    """MEASURED px-accuracy bound for the PRODUCTION tracking path (VERDICT
+    r3 #8): the crafted correlation-argmax weights run through
+    CoTracker2Predictor.track — the exact object smooth_poses_video
+    `--tracker cotracker2` constructs and TrackingRefiner drives
+    (tracking_refiner.py:160-166) — including the model-resolution resize,
+    support-grid append/strip, sliding-window chaining, backward merge,
+    0.9 visibility threshold and query pinning. GT is analytic (a blob
+    jumping one deepest-stride cell per window step), so this bounds the
+    production adapter's end-to-end pixel error rather than arguing it from
+    a twin-chaos calibration."""
+    cfg = dataclasses.replace(
+        COTRACKER2_TEST, corr_radius=2, hidden_size=128,
+        model_resolution=(64, 256),
+    )
+    torch.manual_seed(0)
+    full = TCoTracker2(cfg).eval()
+    _craft_corr_argmax(full, cfg)
+
+    t_frames, h, w = 16, 64, 256  # == model_resolution: resize is identity
+    rs = np.random.RandomState(7)
+    base = np.full((h, w, 3), 128.0, np.float32)
+    by, bx = 20, 32
+    blob = rs.uniform(0, 255, (20, 20, 3)).astype(np.float32)
+    video = np.zeros((t_frames, h, w, 3), np.float32)
+    for t in range(t_frames):
+        f = base.copy()
+        s = (t // 4) * 16
+        f[by:by + 20, bx + s:bx + 20 + s] = blob
+        video[t] = f
+    gt = np.stack(
+        [bx + 8.0 + (np.arange(t_frames) // 4) * 16,
+         np.full(t_frames, by + 8.0)], axis=-1,
+    )
+
+    sd = {k: v.detach().numpy() for k, v in full.state_dict().items()}
+    params = convert.cotracker2_from_hub(sd, depth=cfg.depth)
+    pred = CoTracker2Predictor(params, cfg, support_grid_size=2)
+    tracks, vis = pred.track(
+        video.astype(np.uint8), np.array([[bx + 8.0, by + 8.0]], np.float32),
+        query_frame=0,
+    )
+    assert tracks.shape == (t_frames, 1, 2) and vis.shape == (t_frames, 1)
+    err = np.hypot(*(tracks[:, 0] - gt).T)
+    # Production-path pixel-accuracy bound: the raw-model rig tracks to
+    # <2.5 px (test_synthetic_motion_known_gt_tracks); the predictor front
+    # end must not degrade it (iters=4 predictor default vs 12 in the raw
+    # rig costs a little convergence).
+    assert err.max() < 4.0, f"production path err {err.max():.2f} px"
+    assert vis.all()

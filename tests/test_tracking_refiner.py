@@ -252,6 +252,33 @@ def test_streaming_inliers_matches_batch(refiner):
     np.testing.assert_allclose(pre, full, rtol=1e-5, atol=1e-6)
 
 
+def test_smooth_track_sharded_matches_single(refiner):
+    """device_mesh smooth pass (sharded confidence chunks + one batched
+    sharded interval program) == the single-device staged pipelined path."""
+    import dataclasses as dc
+
+    from freepose_tpu.datasets.video import stage_frames_hbm
+    from freepose_tpu.parallel.mesh import make_mesh
+    from scripts.smooth_poses_video import smooth_track
+
+    fe = DinoFeatureExtractor(CFG)
+    refiner = dc.replace(
+        refiner, feature_fn=lambda im: fe(im, layer=2, feature_type="patch"),
+        extractor=fe, feature_layer=2)
+    mesh = _mesh()
+    poses = _gt_poses(t=8)
+    frames = (_render_video(mesh, poses) * 255).astype(np.uint8)
+    staged = stage_frames_hbm(frames, bucket=16)
+    single, inl_s = smooth_track(
+        refiner, mesh, staged, K, poses, interval=4, cap=2000)
+    dmesh = make_mesh(data=4, model=2)
+    shard, inl_d = smooth_track(
+        refiner, mesh, staged, K, poses, interval=4, cap=2000,
+        device_mesh=dmesh, mesh_axis="data")
+    np.testing.assert_allclose(inl_s, inl_d)
+    np.testing.assert_allclose(shard, single, rtol=1e-4, atol=1e-5)
+
+
 def test_streaming_inliers_guards(refiner):
     from freepose_tpu.datasets.video import stage_frames_hbm
     from freepose_tpu.pipeline.tracking_refiner import StreamingInliers
