@@ -379,10 +379,13 @@ class TrackingRefiner:
         return contextlib.nullcontext()
 
     def compute_pnp(self, image_pts: np.ndarray, object_pts: np.ndarray, valid: np.ndarray, k: jax.Array):
+        # Host numpy first — see compute_pnp_batch's transfer note.
+        image_pts, object_pts = np.asarray(image_pts), np.asarray(object_pts)
+        valid, k = np.asarray(valid), np.asarray(k)
         with self._pnp_context():
             pose = epnp(
                 jnp.asarray(object_pts, jnp.float32), jnp.asarray(image_pts, jnp.float32),
-                jnp.asarray(np.asarray(k), jnp.float32), jnp.asarray(np.asarray(valid)),
+                jnp.asarray(k, jnp.float32), jnp.asarray(valid),
             )
             return np.asarray(pose)
 
@@ -394,11 +397,21 @@ class TrackingRefiner:
         valid [T, N] per-frame visibility -> [T, 4, 4]. Replaces the
         reference's per-frame cv2.solvePnP loop (smooth_poses_video.py:162-192)
         — per-frame dispatches cost a host round trip each. Runs on the host
-        CPU backend under accelerator sessions (see _pnp_context)."""
+        CPU backend under accelerator sessions (see _pnp_context).
+
+        Inputs are pulled to HOST numpy BEFORE entering the CPU context:
+        converting an accelerator array inside it issues a device->host
+        transfer per argument (measured ~110 ms/interval through the remote
+        tunnel vs ~5 ms of actual solve compute). Callers that prefetched
+        (copy_to_host_async) pay nothing here."""
+        image_pts = np.asarray(image_pts)
+        object_pts = np.asarray(object_pts)
+        valid = np.asarray(valid)
+        k = np.asarray(k)
         with self._pnp_context():
             return np.asarray(_epnp_batch(
                 jnp.asarray(object_pts, jnp.float32), jnp.asarray(image_pts, jnp.float32),
-                jnp.asarray(np.asarray(k), jnp.float32), jnp.asarray(np.asarray(valid)),
+                jnp.asarray(k, jnp.float32), jnp.asarray(valid),
             ))
 
     def compute_pnp_or_need_resample(

@@ -453,6 +453,9 @@ def run_e2e_bench(args) -> dict:
     stages["e2e_ms_per_frame"] = round(e2e_ms, 2)
     print(f"e2e 4-stage: {e2e_ms:.1f} ms/frame = {fps:.2f} FPS/chip "
           f"(tunnel RTT {stages['tunnel_rtt_ms']:.1f} ms)")
+    import json as _json
+
+    print("stages:", _json.dumps(stages))
     return {"e2e_ms": e2e_ms, "loop_ms": loop_ms, "smooth_ms": smooth_ms,
             "frame0_ms": frame0_ms, "stages": stages, "mode": "coupled"}
 

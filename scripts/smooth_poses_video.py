@@ -198,7 +198,10 @@ def smooth_track(
             if track_dev is not None:
                 tracks, scores = track_dev(sub, qs, 0)
                 vis = None
-                for a in (tracks, scores, vs):
+                # Prefetch EVERYTHING the PnP epilogue reads (incl. the
+                # surface points): a device array reaching the host-CPU EPnP
+                # context costs a blocking tunnel transfer per argument.
+                for a in (tracks, scores, vs, ss, qs):
                     try:
                         a.copy_to_host_async()
                     except Exception:
@@ -216,7 +219,8 @@ def smooth_track(
             if vis is None:
                 vis = np.asarray(scores) > 0.5
             pv = refiner.compute_pnp_batch(
-                jnp.asarray(tracks), ss, jnp.asarray(vis) & jnp.asarray(vs)[None], k
+                np.asarray(tracks), np.asarray(ss),
+                np.asarray(vis) & vs_np[None], k
             )
             for li, fi in enumerate(idxs):
                 refined[fi] = np.asarray(pv[li])
