@@ -52,7 +52,8 @@ def make_args(**kw):
 
     d = dict(tiny=False, frames=48, warmup=8, deg_per_frame=2.0,
              auto_bucket=16, sam2_chunk=8, reps=3, skip_frame0=False,
-             skip_smooth=False, no_overlap_smooth=False, no_motion_sweep=False)
+             skip_smooth=False, no_overlap_smooth=False, no_motion_sweep=False,
+             lag=3)
     d.update(kw)
     return types.SimpleNamespace(**d)
 
@@ -65,6 +66,9 @@ def main() -> None:
     ap.add_argument("--deg-per-frame", type=float, default=2.0)
     ap.add_argument("--auto-bucket", type=int, default=16)
     ap.add_argument("--sam2-chunk", type=int, default=8)
+    ap.add_argument("--lag", type=int, default=3,
+                    help="refine-chain pipeline depth (frames in flight "
+                    "before the host fetches a result)")
     ap.add_argument("--reps", type=int, default=3,
                     help="steady-state loop repetitions (median reported)")
     ap.add_argument("--skip-frame0", action="store_true")
@@ -295,6 +299,7 @@ def run_e2e_bench(args) -> dict:
         chain = AutoRefineChain(
             est, mesh, cache_tag, miss_bucket=args.auto_bucket,
             adaptive_bucket=True, bucket_choices=(8, 16, 32),
+            lag=args.lag,
         )
         fed = 0
         gen = pred.propagate_batched(vstate, chunk=args.sam2_chunk)
@@ -638,7 +643,8 @@ def _build_smooth_ctx(args, mesh, frames, k_full, traj) -> dict:
     # staged bucket), correspondence/track-chain/EPnP interval programs.
     StreamingInliers(refiner, smesh, staged, k_full, chunk=8).warmup()
     smooth_track(refiner, smesh, staged.prefix(12), jnp.asarray(k_full),
-                 np.stack(traj[:12]), interval=12, pipelined=True, cap=cap)
+                 np.stack(traj[:12]), interval=12, pipelined=True, cap=cap,
+                 batched_intervals=True)
     return {"refiner": refiner, "smesh": smesh, "staged": staged, "cap": cap,
             "k_full": jnp.asarray(k_full)}
 
@@ -663,7 +669,8 @@ def _smooth_stage(args, ctx, results, conf, stages: dict) -> float:
         inliers, _ = conf.finalize()
         conf_drain_ms = 1e3 * (time.perf_counter() - t0) / staged.n
     smooth_track(refiner, smesh, staged, k, poses,
-                 interval=12, pipelined=True, cap=cap, inliers=inliers)
+                 interval=12, pipelined=True, cap=cap, inliers=inliers,
+                 batched_intervals=True)
     ms = 1e3 * (time.perf_counter() - t0) / staged.n
     stages["smooth"] = {
         "ms_per_frame": round(ms, 2), "cap": cap,

@@ -43,19 +43,36 @@ def predict_interval(refiner, mesh, frames, k, start_pose, start_idx, indices):
     return {frame_idx: poses[li] for li, frame_idx in enumerate(indices)}
 
 
-def _sharded_intervals(
+def _batched_intervals(
     refiner, mesh, frames_dev, k, poses, starts, step, n, cap,
-    refined: dict, device_mesh, mesh_axis: str,
+    refined: dict, device_mesh=None, mesh_axis: str = "data",
 ) -> None:
-    """All intervals as ONE batched, mesh-sharded program chain: batched
-    correspondences render + top-cap selection + batched ZNCC chains, the
-    interval axis sharded over `mesh_axis` (padded with repeats of the last
-    start; padded rows discarded). Numerics match the single-device
-    pipelined path: the selection comparator, chain and masked EPnP are
-    identical per interval."""
-    n_dev = device_mesh.shape[mesh_axis]
-    pad_i = (-len(starts)) % n_dev
-    starts_pad = list(starts) + [starts[-1]] * pad_i
+    """All intervals as ONE batched program chain: batched correspondences
+    render + top-cap selection + batched ZNCC chains + one fetch set +
+    host EPnP. vs the per-interval pipelined loop this pays the dispatch +
+    fetch-sync overhead ONCE instead of per interval (measured ~200 ms of
+    tunnel syncs per interval on the remote rig). With `device_mesh` the
+    interval axis additionally shards over `mesh_axis` (each chip renders
+    and scans its own intervals). The start batch pads to a multiple of 4
+    (and of the mesh axis) with repeats of the last start so one compiled
+    shape serves nearby video lengths; padded rows are discarded. Numerics
+    match the single-device pipelined path: the selection comparator, chain
+    and masked EPnP are identical per interval."""
+    import math
+
+    n_dev = device_mesh.shape[mesh_axis] if device_mesh is not None else 1
+    # The interval batch pads to a STATIC size derived from the staged frame
+    # BUCKET (max starts any video of this bucket can have, rounded up to the
+    # mesh axis): one compiled program serves every video length <= the
+    # bucket and any best-frame phase — a per-start-count shape would cost a
+    # fresh remote compile per video. Padded rows repeat the last start and
+    # are discarded.
+    i_max = int(frames_dev.shape[0]) // step + 2
+    pad_to = math.lcm(4, n_dev)
+    i_bucket = -(-i_max // pad_to) * pad_to
+    if len(starts) > i_bucket:
+        raise ValueError(f"{len(starts)} interval starts > bucket {i_bucket}")
+    starts_pad = list(starts) + [starts[-1]] * (i_bucket - len(starts))
     poses_b = jnp.asarray(np.stack([poses[s] for s in starts_pad]), jnp.float32)
     query_b, surface_b, valid_b = refiner.correspondences_batch(
         mesh, k, poses_b, device_mesh=device_mesh, axis=mesh_axis)
@@ -73,6 +90,11 @@ def _sharded_intervals(
     subs = jnp.take(frames_dev, jnp.asarray(np.asarray(idx_rows, np.int32)), axis=0)
     tracks_b, scores_b = refiner.tracker.track_device_batch(
         subs, qs_b, device_mesh=device_mesh, axis=mesh_axis)
+    for a in (tracks_b, scores_b, vs_b, ss_b):
+        try:
+            a.copy_to_host_async()
+        except Exception:
+            pass
     tracks_np = np.asarray(tracks_b)
     scores_np = np.asarray(scores_b)
     vs_np_b = np.asarray(vs_b)
@@ -96,6 +118,7 @@ def smooth_track(
     refiner, mesh, frames, k, poses, interval: int = 12,
     pipelined: bool = True, cap: int = 512, keep_coarse_translation: bool = True,
     inliers=None, device_mesh=None, mesh_axis: str = "data",
+    batched_intervals: bool | None = None,
 ):
     """Full track-refine pass over one video (reference
     smooth_poses_video.py:92-192): confidence scoring picks the best start
@@ -152,8 +175,14 @@ def smooth_track(
     refined: dict[int, np.ndarray] = {}
     starts = sorted(set(list(range(best, n, step)) + list(range(best, -1, -step))))
     starts = [s for s in starts if s < n]
-    if device_mesh is not None:
-        _sharded_intervals(
+    if batched_intervals is None:
+        batched_intervals = device_mesh is not None
+    if batched_intervals and not staged:
+        raise ValueError("batched_intervals requires an HBM StagedVideo")
+    if batched_intervals and getattr(refiner.tracker, "track_device_batch", None) is None:
+        raise ValueError("batched_intervals requires a batch-capable tracker (ZNCC)")
+    if batched_intervals:
+        _batched_intervals(
             refiner, mesh, frames_dev, k, poses, starts, step, n, cap,
             refined, device_mesh, mesh_axis)
     elif not pipelined:
@@ -313,10 +342,18 @@ def main() -> None:
 
         frames = stage_frames_hbm(frames)
     t0 = time.perf_counter()
+    # Staged ZNCC runs use the batched interval path (one program chain +
+    # one fetch set — per-interval fetch syncs cost ~200 ms each on remote
+    # rigs); trackers without a batch entry point keep the pipelined loop.
+    from freepose_tpu.datasets.video import StagedVideo
+
+    batched = (isinstance(frames, StagedVideo)
+               and getattr(refiner.tracker, "track_device_batch", None) is not None)
     smoothed, inliers = smooth_track(
         refiner, mesh, frames, k, poses, interval=args.interval,
         pipelined=not args.exact_intervals, cap=args.cap,
         keep_coarse_translation=args.keep_coarse_translation,
+        batched_intervals=batched,
     )
     print(f"inliers per frame: {inliers.tolist()} -> start at {int(np.argmax(inliers))}")
     dt = time.perf_counter() - t0

@@ -37,6 +37,7 @@ _SLOW_MODULES = {
     "test_cli_conformance",    # ~25 subprocess --help runs (jax import each)
     "test_cli_slice",
     "test_cli_video_slice",
+    "test_e2e_accuracy",       # full CLI chain against analytic GT (~3 min)
     "test_clip",
     "test_convert_fixtures",
     "test_cotracker",

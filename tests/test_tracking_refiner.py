@@ -277,6 +277,13 @@ def test_smooth_track_sharded_matches_single(refiner):
         device_mesh=dmesh, mesh_axis="data")
     np.testing.assert_allclose(inl_s, inl_d)
     np.testing.assert_allclose(shard, single, rtol=1e-4, atol=1e-5)
+    # Single-device BATCHED intervals (one program chain + one fetch set —
+    # the production smooth layout) must also match the pipelined path.
+    batched, inl_b = smooth_track(
+        refiner, mesh, staged, K, poses, interval=4, cap=2000,
+        batched_intervals=True)
+    np.testing.assert_allclose(inl_s, inl_b)
+    np.testing.assert_allclose(batched, single, rtol=1e-4, atol=1e-5)
 
 
 def test_streaming_inliers_guards(refiner):
