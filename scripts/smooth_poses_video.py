@@ -49,15 +49,17 @@ def _batched_intervals(
 ) -> None:
     """All intervals as ONE batched program chain: batched correspondences
     render + top-cap selection + batched ZNCC chains + one fetch set +
-    host EPnP. vs the per-interval pipelined loop this pays the dispatch +
-    fetch-sync overhead ONCE instead of per interval (measured ~200 ms of
-    tunnel syncs per interval on the remote rig). With `device_mesh` the
-    interval axis additionally shards over `mesh_axis` (each chip renders
-    and scans its own intervals). The start batch pads to a multiple of 4
-    (and of the mesh axis) with repeats of the last start so one compiled
-    shape serves nearby video lengths; padded rows are discarded. Numerics
-    match the single-device pipelined path: the selection comparator, chain
-    and masked EPnP are identical per interval."""
+    host EPnP. This is the MULTI-CHIP vehicle: with `device_mesh` the
+    interval axis shards over `mesh_axis` (each chip renders and scans its
+    own intervals). On a single device it is measured SLOWER than the
+    pipelined per-interval loop (22.8 vs 5.0 ms/frame warm on one v5e —
+    the monolithic vmapped chain program schedules worse than 9 pipelined
+    dispatches), so smooth_track only defaults to it when a mesh is given.
+    The start batch pads to a static bucket derived from the frame bucket
+    (and the mesh axis) with repeats of the last start; padded rows are
+    discarded. Numerics match the single-device pipelined path: the
+    selection comparator, chain and masked EPnP are identical per
+    interval."""
     import math
 
     n_dev = device_mesh.shape[mesh_axis] if device_mesh is not None else 1
@@ -342,18 +344,10 @@ def main() -> None:
 
         frames = stage_frames_hbm(frames)
     t0 = time.perf_counter()
-    # Staged ZNCC runs use the batched interval path (one program chain +
-    # one fetch set — per-interval fetch syncs cost ~200 ms each on remote
-    # rigs); trackers without a batch entry point keep the pipelined loop.
-    from freepose_tpu.datasets.video import StagedVideo
-
-    batched = (isinstance(frames, StagedVideo)
-               and getattr(refiner.tracker, "track_device_batch", None) is not None)
     smoothed, inliers = smooth_track(
         refiner, mesh, frames, k, poses, interval=args.interval,
         pipelined=not args.exact_intervals, cap=args.cap,
         keep_coarse_translation=args.keep_coarse_translation,
-        batched_intervals=batched,
     )
     print(f"inliers per frame: {inliers.tolist()} -> start at {int(np.argmax(inliers))}")
     dt = time.perf_counter() - t0
