@@ -130,31 +130,40 @@ def flash_attention(
     n_pad = -(-n // block_q) * block_q
     nk16 = _round16(nk)
 
-    # Whole-KV single-block regime (the ViT shape, n ≈ nk ≈ 905): one grid
-    # step per (batch·head), K/V fetched once, NATIVE head dim (64 pads only
-    # inside VMEM lanes — padding to 128 in HBM doubled K/V traffic and MXU
-    # work), no online-softmax loop. Profiled 1.16 ms/layer -> see
-    # bench_features; the old (b·h, n/256) grid re-read full K/V per q block.
-    if n_pad * nk16 * 4 <= (6 << 20) and n_pad == block_q:
-        qp = _pad_to(q, n_pad, 2).reshape(b * h, n_pad, d)
+    # Native-d q-block regime: ALL keys resident per program (no K slicing,
+    # so the head dim stays NATIVE — padding d 64→128 in HBM doubled K/V
+    # traffic and MXU work), q split into balanced 16-multiple blocks whose
+    # f32 score tile fits the VMEM budget; K/V are re-fetched per q-block
+    # (tiny: nk·d bf16). Covers both the whole-head ViT-L shape (n ≈ 905 —
+    # one block, the round-2 tuning) and longer rows like the 1374-token
+    # ViT-B@518 confidence stream, which previously fell through to the
+    # streaming regime and paid 2× MXU work for the d=128 padding.
+    budget = 6 << 20
+    bq_fit = (budget // (4 * nk16)) // 16 * 16
+    if bq_fit >= 16:
+        n16 = _round16(n)
+        n_blocks = -(-n16 // min(bq_fit, block_q))
+        bq = _round16(-(-n16 // n_blocks))
+        n_pad_s = n_blocks * bq
+        qp = _pad_to(q, n_pad_s, 2).reshape(b * h, n_pad_s, d)
         kp = _pad_to(k, nk16, 2).reshape(b * h, nk16, d)
         vp = _pad_to(v, nk16, 2).reshape(b * h, nk16, d)
         out = pl.pallas_call(
             partial(_flash_kernel_single, scale=scale, seq_len=nk),
-            out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d), q.dtype),
-            grid=(b * h,),
+            out_shape=jax.ShapeDtypeStruct((b * h, n_pad_s, d), q.dtype),
+            grid=(b * h, n_blocks),
             in_specs=[
-                pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, nk16, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, nk16, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nk16, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nk16, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, n_pad, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel",),
+                dimension_semantics=("parallel", "arbitrary"),
             ),
             interpret=interpret,
         )(qp, kp, vp)
-        return out.reshape(b, h, n_pad, d)[:, :, :n]
+        return out.reshape(b, h, n_pad_s, d)[:, :, :n]
 
     # Streaming regime (large n·nk, e.g. Hiera global blocks at 4096 tokens):
     # K blocks sized so the f32 score tile stays a few MB of VMEM, balanced
