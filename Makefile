@@ -2,13 +2,19 @@
 # override it (see tests/conftest.py and .claude/skills/verify/SKILL.md).
 CPU_ENV = env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu
 
-.PHONY: test bench native dryrun clean
+.PHONY: test bench native dryrun clean warm
 
 test:
 	python -m pytest tests/ -q
 
 bench:
 	python bench.py
+
+# Populate the on-disk compile cache (.jax_cache/, gitignored) so a
+# subsequent `make bench` run times warm executables instead of compiles.
+warm:
+	python bench.py > /dev/null || true
+	FREEPOSE_BENCH=proposals python bench.py > /dev/null || true
 
 native:
 	$(MAKE) -C csrc

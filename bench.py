@@ -83,15 +83,28 @@ def main_e2e() -> None:
 
     args = make_args(tiny=TINY, frames=8 if TINY else 96, warmup=2 if TINY else 8,
                      reps=2 if TINY else 3)
+    retried = False
     try:
         res = run_e2e_bench(args)
     except Exception as e:  # tunneled-TPU sessions occasionally drop a
-        # claim mid-run (FAILED_PRECONDITION on the first fetch); one clean
-        # retry in a fresh backend context recovers it.
-        print(f"bench attempt failed ({type(e).__name__}: {e}); retrying once", flush=True)
+        # claim mid-run (FAILED_PRECONDITION / backend unavailability on a
+        # fetch); one clean retry in a fresh backend context recovers it.
+        # Genuine regressions (shape errors, assertions, OOM) re-raise.
+        msg = f"{type(e).__name__}: {e}"
+        transient = any(
+            s in msg
+            for s in ("FAILED_PRECONDITION", "UNAVAILABLE", "DEADLINE_EXCEEDED",
+                      "INTERNAL", "XlaRuntimeError", "claim")
+        )
+        if not transient:
+            raise
+        print(f"bench attempt failed ({msg}); retrying once", flush=True)
         time.sleep(30)
+        retried = True
         res = run_e2e_bench(args)
     fps = 1e3 / res["e2e_ms"]
+    if retried:
+        res["stages"]["retried"] = True
     print(
         json.dumps(
             {
