@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from freepose_tpu.models.bert import Bert, BertConfig
-from freepose_tpu.models.swin import SwinBackbone, SwinConfig
+from freepose_tpu.models.swin import SWIN_B, SwinBackbone, SwinConfig
 
 # BERT ids of [CLS], [SEP], '.', '?' — sub-sentence delimiters.
 SPECIAL_TOKENS = (101, 102, 1012, 1029)
@@ -34,7 +34,9 @@ SPECIAL_TOKENS = (101, 102, 1012, 1029)
 
 @dataclasses.dataclass(frozen=True)
 class GroundingDinoConfig:
-    swin: SwinConfig = SwinConfig(out_stages=(1, 2, 3))
+    # Default = grounding-dino-BASE (the checkpoint the reference loads,
+    # extract_proposals_ground.py:48): Swin-B backbone + BERT-base text.
+    swin: SwinConfig = SWIN_B
     text: BertConfig = BertConfig()
     d_model: int = 256
     num_feature_levels: int = 4

@@ -1,11 +1,12 @@
 """Swin Transformer backbone in Flax (for GroundingDINO).
 
-The reference's GroundingDINO detector runs on a Swin-T/B vision backbone
-(reference scripts/extract_proposals_ground.py:48-52 loads
-IDEA-Research/grounding-dino-tiny, whose backbone is Swin-T). Hierarchical
-windowed attention with relative position bias, shifted windows on alternate
-blocks, and 2×2 patch-merging downsamples; returns the requested stage
-feature maps (NCHW) with per-stage layer norms, matching HF SwinBackbone.
+The reference's GroundingDINO detector runs on a Swin-B vision backbone
+(reference scripts/extract_proposals_ground.py:48 loads
+IDEA-Research/grounding-dino-base, whose backbone is Swin-B-384: embed 128,
+depths (2,2,18,2), heads (4,8,16,32), window 12). Hierarchical windowed
+attention with relative position bias, shifted windows on alternate blocks,
+and 2×2 patch-merging downsamples; returns the requested stage feature maps
+(NCHW) with per-stage layer norms, matching HF SwinBackbone.
 """
 from __future__ import annotations
 
@@ -35,6 +36,13 @@ class SwinConfig:
 
 
 SWIN_TEST = SwinConfig(embed_dim=16, depths=(1, 1, 2), num_heads=(1, 2, 4), window_size=4, out_stages=(1, 2))
+
+# The grounding-dino-base backbone (Swin-B pretrained at 384, window 12) —
+# the reference's production detector size.
+SWIN_B = SwinConfig(
+    embed_dim=128, depths=(2, 2, 18, 2), num_heads=(4, 8, 16, 32),
+    window_size=12, out_stages=(1, 2, 3),
+)
 
 
 def _rel_pos_index(window: int) -> np.ndarray:

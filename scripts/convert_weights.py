@@ -45,7 +45,9 @@ def main() -> None:
     ap.add_argument("--text-layers", type=int, default=12)
     ap.add_argument("--vision-layers", type=int, default=48)
     ap.add_argument("--total-blocks", type=int, default=48, help="hiera/swin total blocks")
-    ap.add_argument("--swin-depths", type=int, nargs="+", default=[2, 2, 6, 2])
+    ap.add_argument("--swin-depths", type=int, nargs="+", default=[2, 2, 18, 2],
+                    help="Swin stage depths; default = grounding-dino-base "
+                         "(Swin-B). Pass 2 2 6 2 for a Swin-T checkpoint.")
     args = ap.parse_args()
 
     sd = load_state_dict(args.ckpt)

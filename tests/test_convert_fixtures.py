@@ -245,9 +245,10 @@ def test_clip_open_clip_released_topology():
 
 
 # --------------------------------------------------------------------- #
-# GroundingDINO (IDEA-Research/grounding-dino-base topology: Swin-B-ish
-# depths [2,2,18,2] are the released backbone; the checkpoint the reference
-# loads is grounding-dino with Swin-T [2,2,6,2] + BERT-12 + 6/6 layers).
+# GroundingDINO: the reference loads IDEA-Research/grounding-dino-base
+# (extract_proposals_ground.py:48) whose backbone is Swin-B — depths
+# [2,2,18,2], heads scaling (4,8,16,32), BERT-12 text, 6/6 enc/dec layers.
+# The fixture exercises exactly that layout at tiny widths.
 
 
 def test_grounding_dino_hf_released_topology():
@@ -262,7 +263,7 @@ def test_grounding_dino_hf_released_topology():
     from freepose_tpu.models.bert import BertConfig
     from freepose_tpu.models.swin import SwinConfig
 
-    depths, heads = [2, 2, 6, 2], [1, 2, 4, 8]
+    depths, heads = [2, 2, 18, 2], [1, 2, 4, 8]
     swin = HFSwinConfig(
         image_size=64, patch_size=4, embed_dim=8, depths=depths, num_heads=heads,
         window_size=4, out_features=["stage2", "stage3", "stage4"], drop_path_rate=0.0,
