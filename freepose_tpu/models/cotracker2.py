@@ -613,17 +613,28 @@ class CoTracker2Predictor:
         tracks *= np.array([(w - 1) / (mw - 1), (h - 1) / (mh - 1)], np.float32)
         return tracks, vis
 
-    def track(self, video: np.ndarray, queries: np.ndarray, query_frame: int = 0):
+    # smooth_track may hand this tracker the HBM-staged frame gather
+    # directly (a [T, H, W, 3] device array) — the predictor casts/rescales
+    # on device, so no host round-trip enters the tracking cost.
+    accepts_device_video = True
+
+    def track(self, video, queries: np.ndarray, query_frame: int = 0):
         """PointTracker.track-compatible front end (the TrackingRefiner
         tracker interface, reference tracking_refiner.py:160-166): queries
         [N, 2] (x, y) all on `query_frame`, bidirectional tracking.
 
         Video follows the PointTracker convention — uint8 in [0, 255] or
         float in [0, 1] (TrackingRefiner.track_frames passes [0, 1] floats);
-        rescaled here to the predictor's 0-255 domain."""
-        v = np.asarray(video, np.float32)
-        if video.dtype != np.uint8:
-            v = v * 255.0
+        rescaled here to the predictor's 0-255 domain. May be a host numpy
+        array or a device jax.Array (kept on device)."""
+        if isinstance(video, jax.Array):
+            v = video.astype(jnp.float32)
+            if video.dtype != jnp.uint8:
+                v = v * 255.0
+        else:
+            v = np.asarray(video, np.float32)
+            if video.dtype != np.uint8:
+                v = v * 255.0
         q = np.concatenate(
             [np.full((len(queries), 1), float(query_frame), np.float32),
              np.asarray(queries, np.float32)], axis=1

@@ -53,7 +53,7 @@ def make_args(**kw):
     d = dict(tiny=False, frames=48, warmup=8, deg_per_frame=2.0,
              auto_bucket=16, sam2_chunk=8, reps=3, skip_frame0=False,
              skip_smooth=False, no_overlap_smooth=False, no_motion_sweep=False,
-             lag=3)
+             skip_cotracker2_smooth=False, lag=3)
     d.update(kw)
     return types.SimpleNamespace(**d)
 
@@ -73,6 +73,8 @@ def main() -> None:
                     help="steady-state loop repetitions (median reported)")
     ap.add_argument("--skip-frame0", action="store_true")
     ap.add_argument("--skip-smooth", action="store_true")
+    ap.add_argument("--skip-cotracker2-smooth", action="store_true",
+                    help="skip the CoTracker2-cost smooth stage record")
     ap.add_argument("--no-overlap-smooth", action="store_true",
                     help="run the smooth confidence pass serially after the "
                     "loop (round-3 layout) instead of streaming its chunks "
@@ -419,6 +421,12 @@ def run_e2e_bench(args) -> dict:
         smooth_ms = _smooth_stage(args, smooth_ctx, results, conf, stages)
         tag = "overlapped: intervals + conf drain" if overlap else "serial"
         print(f"smooth stage ({tag}): {smooth_ms:.1f} ms/frame")
+        if not args.skip_cotracker2_smooth:
+            # Recorded (not headline): the same interval pass at the
+            # reference's CoTracker2 tracker cost.
+            _smooth_cotracker2_stage(args, smooth_ctx, results, stages)
+            print(f"smooth stage (cotracker2 cost): "
+                  f"{stages['smooth_cotracker2']['ms_per_frame']:.1f} ms/frame")
 
     # ---- motion robustness: 4 deg/frame + direction reversal ------------- #
     # (recorded stages, not the headline: the fine cache must neither cliff
@@ -679,9 +687,10 @@ def _smooth_stage(args, ctx, results, conf, stages: dict) -> float:
     pass_ms = []
     for _ in range(3):
         tp = time.perf_counter()
-        smooth_track(refiner, smesh, staged, k, poses,
-                     interval=12, pipelined=True, cap=cap, inliers=inliers)
+        _, inliers_used = smooth_track(refiner, smesh, staged, k, poses,
+                                       interval=12, pipelined=True, cap=cap, inliers=inliers)
         pass_ms.append(1e3 * (time.perf_counter() - tp) / staged.n)
+    ctx["inliers"] = np.asarray(inliers_used)  # reused by the CoTracker2-cost stage
     ms = conf_drain_ms + float(_np.median(pass_ms))
     stages["smooth"] = {
         "ms_per_frame": round(ms, 2), "cap": cap,
@@ -690,6 +699,48 @@ def _smooth_stage(args, ctx, results, conf, stages: dict) -> float:
         **({"conf_drain_ms_per_frame": round(conf_drain_ms, 2)} if conf is not None else {}),
     }
     return ms
+
+
+def _smooth_cotracker2_stage(args, ctx, results, stages: dict) -> None:
+    """The smooth interval pass priced at the REFERENCE's tracker cost:
+    CoTracker2 at released topology (reference tracking_refiner.py:24,
+    160-166; random-init weights — this measures cost, not fidelity, since
+    released checkpoints are egress-blocked) replaces the ZNCC tracker in
+    the identical interval machinery. Recorded as stages["smooth_cotracker2"]
+    alongside the headline's weight-free ZNCC default; both trackers must
+    pass the same e2e drift gate (tests/test_e2e_accuracy.py)."""
+    import copy
+
+    import numpy as np
+
+    from freepose_tpu.models.cotracker2 import (
+        COTRACKER2, COTRACKER2_TEST, CoTracker2Predictor)
+    from scripts.smooth_poses_video import smooth_track
+
+    cfg = COTRACKER2_TEST if args.tiny else COTRACKER2
+    tracker = CoTracker2Predictor(CoTracker2Predictor.init_params(cfg), cfg)
+    r2 = copy.copy(ctx["refiner"])  # shares feature/render jit caches
+    r2.tracker = tracker
+    staged, smesh, k, cap = ctx["staged"], ctx["smesh"], ctx["k_full"], ctx["cap"]
+    poses = np.stack([r[0] for r in results])[-staged.n:]
+    inliers = ctx.get("inliers")
+    # Warm-up: compiles the fwd+bwd sliding-window programs at the interval
+    # shape (cap + support-grid queries); the prefix shares the full pass's
+    # staged buffer so the timed passes reuse these executables.
+    smooth_track(r2, smesh, staged.prefix(12), k, poses[:12], interval=12,
+                 pipelined=True, cap=cap,
+                 inliers=None if inliers is None else inliers[:12])
+    pass_ms = []
+    for _ in range(2):
+        tp = time.perf_counter()
+        smooth_track(r2, smesh, staged, k, poses, interval=12,
+                     pipelined=True, cap=cap, inliers=inliers)
+        pass_ms.append(1e3 * (time.perf_counter() - tp) / staged.n)
+    stages["smooth_cotracker2"] = {
+        "ms_per_frame": round(float(np.median(pass_ms)), 2), "cap": cap,
+        "pass_ms_per_frame": [round(m, 2) for m in pass_ms],
+        "tracker": "cotracker2-released-topology-random-weights",
+    }
 
 
 if __name__ == "__main__":

@@ -108,9 +108,11 @@ def _batched_intervals(
                 refined[i] = poses[s]
             continue
         vis = scores_np[ii] > 0.5
+        # Host numpy straight into the host-CPU EPnP context — wrapping in
+        # jnp.asarray here would cost a device upload + blocking fetch per
+        # argument per interval (the transfer bug the pipelined path fixed).
         pv = refiner.compute_pnp_batch(
-            jnp.asarray(tracks_np[ii]), jnp.asarray(ss_np_b[ii]),
-            jnp.asarray(vis) & jnp.asarray(vs_np_b[ii])[None], k,
+            tracks_np[ii], ss_np_b[ii], vis & vs_np_b[ii][None], k,
         )
         for li, fi in enumerate(idxs):
             refined[fi] = np.asarray(pv[li])
@@ -237,6 +239,12 @@ def smooth_track(
                         a.copy_to_host_async()
                     except Exception:
                         pass
+            elif getattr(refiner.tracker, "accepts_device_video", False):
+                # Device-capable host tracker (CoTracker2Predictor): hand it
+                # the staged gather directly — it resizes/casts on device and
+                # fetches only the [T, N, 2] track results.
+                tracks, vis = refiner.track_frames(sub, np.asarray(qs), 0)
+                scores = None
             else:
                 tracks, vis = refiner.track_frames(np.asarray(sub), np.asarray(qs), 0)
                 scores = None

@@ -154,9 +154,10 @@ def _geodesic_deg(ra, rb):
     return np.degrees(np.arccos(tr))
 
 
-def test_full_chain_tracks_known_gt(gt_ws):
-    """proposals -> dino_inference_video -> smooth_poses_video -> eval_videos
-    must TRACK the analytic trajectory, not just produce valid poses."""
+@pytest.fixture(scope="module")
+def fine_csv(gt_ws):
+    """Coarse+fine inference over the synthetic video (shared by the ZNCC
+    and CoTracker2 smooth-chain gates)."""
     ws, gt, k = gt_ws
     _run([
         "scripts.dino_inference_video", "--video-dir", str(ws / "frames"),
@@ -166,6 +167,22 @@ def test_full_chain_tracks_known_gt(gt_ws):
         "--n-coarse", str(N_COARSE), "--n-fine", str(N_FINE),
         "--n-neighbors", "64", "--neighborhood", "40",
     ])
+    return ws / "vid.csv"
+
+
+def _rel_rot_err(track, gt):
+    errs = []
+    for t in range(N_FRAMES - 1):
+        dr_pred = track[t + 1].R @ track[t].R.T
+        dr_gt = gt[t + 1, :3, :3] @ gt[t, :3, :3].T
+        errs.append(_geodesic_deg(dr_pred, dr_gt))
+    return np.array(errs)
+
+
+def test_full_chain_tracks_known_gt(gt_ws, fine_csv):
+    """proposals -> dino_inference_video -> smooth_poses_video -> eval_videos
+    must TRACK the analytic trajectory, not just produce valid poses."""
+    ws, gt, k = gt_ws
     _run([
         "scripts.smooth_poses_video", "--video-dir", str(ws / "frames"),
         "--poses", str(ws / "vid.csv"), "--mesh-dir", str(ws / "meshes"),
@@ -188,16 +205,8 @@ def test_full_chain_tracks_known_gt(gt_ws):
     # relative rotation (does the track co-rotate with GT frame-to-frame),
     # projection and depth — the quantities that explode when a stage stops
     # tracking (random relative rotations average ~90 deg/step here).
-    def rel_rot_err(track):
-        errs = []
-        for t in range(N_FRAMES - 1):
-            dr_pred = track[t + 1].R @ track[t].R.T
-            dr_gt = gt[t + 1, :3, :3] @ gt[t, :3, :3].T
-            errs.append(_geodesic_deg(dr_pred, dr_gt))
-        return np.array(errs)
-
-    drel_fine = rel_rot_err(fine)
-    drel_trk = rel_rot_err(tracked)
+    drel_fine = _rel_rot_err(fine, gt)
+    drel_trk = _rel_rot_err(tracked, gt)
     z_fine = np.array([fine[t].t[2] for t in range(N_FRAMES)])
     diag = float(np.hypot(W, H))
 
@@ -241,3 +250,61 @@ def test_full_chain_tracks_known_gt(gt_ws):
     # Direct frame-to-frame co-rotation gates (stopped tracking ~= 90 deg):
     assert drel_fine.mean() < 10.0, drel_fine
     assert drel_trk.mean() < 10.0, drel_trk
+
+
+def test_full_chain_tracks_known_gt_cotracker2(gt_ws, fine_csv):
+    """The `--tracker cotracker2` PRODUCTION smooth path (the reference's
+    tracker, tracking_refiner.py:24,160-166) must pass the SAME composed-chain
+    drift gate as the ZNCC default (VERDICT r4 #2). No released checkpoint is
+    obtainable offline, so the tracker runs with the crafted
+    correlation-argmax weights — the no-checkpoint tracking oracle from
+    tests/test_cotracker2.py (bounded there at <4 px on analytic motion) —
+    through the full smooth_poses_video CLI: correspondences, sliding-window
+    CoTracker2Predictor tracking, EPnP, SE(3) smoothing."""
+    import dataclasses
+    import json
+
+    import torch
+
+    from freepose_tpu.models import convert
+    from freepose_tpu.models.cotracker2 import COTRACKER2_TEST
+    from scripts.common import save_params
+    from tests.test_cotracker2 import TCoTracker2, _craft_corr_argmax
+
+    ws, gt, k = gt_ws
+    cfg = dataclasses.replace(
+        COTRACKER2_TEST, corr_radius=2, hidden_size=128,
+        model_resolution=(H, W),  # == video res: the resize is identity
+    )
+    torch.manual_seed(0)
+    full = TCoTracker2(cfg).eval()
+    _craft_corr_argmax(full, cfg)
+    sd = {key: v.detach().numpy() for key, v in full.state_dict().items()}
+    save_params(convert.cotracker2_from_hub(sd, depth=cfg.depth), ws / "ct2.npz")
+    (ws / "ct2.json").write_text(json.dumps({
+        "latent_dim": cfg.latent_dim, "corr_levels": cfg.corr_levels,
+        "corr_radius": cfg.corr_radius, "flow_emb_dim": cfg.flow_emb_dim,
+        "hidden_size": cfg.hidden_size, "num_heads": cfg.num_heads,
+        "depth": cfg.depth, "num_virtual_tracks": cfg.num_virtual_tracks,
+        "model_resolution": [H, W], "iters": cfg.iters,
+        "precision": "highest",
+    }))
+    _run([
+        "scripts.smooth_poses_video", "--video-dir", str(ws / "frames"),
+        "--poses", str(fine_csv), "--mesh-dir", str(ws / "meshes"),
+        "--out", str(ws / "vid-ct2.csv"), "--interval", "4",
+        "--tracker", "cotracker2", "--tracker-weights", str(ws / "ct2.npz"),
+        "--tracker-config", str(ws / "ct2.json"),
+    ])
+    from freepose_tpu.io.bop_csv import read_results_csv
+
+    tracked = read_results_csv(ws / "vid-ct2.csv", t_scale=1.0)
+    tracked.sort(key=lambda r: r.im_id)
+    assert len(tracked) == N_FRAMES
+    drel = _rel_rot_err(tracked, gt)
+    print(f"rel-rot err cotracker2-tracked mean/max: "
+          f"{drel.mean():.2f}/{drel.max():.2f} deg/frame")
+    # Same gate as the ZNCC tracked path: co-rotation with GT (a stopped or
+    # diverged tracker averages ~90 deg/frame relative error here).
+    assert drel.mean() < 10.0, drel
+    assert np.isfinite(np.stack([r.t for r in tracked])).all()
