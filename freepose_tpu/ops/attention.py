@@ -139,7 +139,12 @@ def flash_attention(
     # ViT-B@518 confidence stream, which previously fell through to the
     # streaming regime and paid 2× MXU work for the d=128 padding.
     budget = 6 << 20
-    bq_fit = (budget // (4 * nk16)) // 16 * 16
+    # The kernel keeps K AND V whole-row resident per program in addition to
+    # the f32 score tile — budget both, else intermediate key lengths
+    # (~16k-98k tokens) would pick this regime and blow VMEM at compile
+    # while the streaming regime that handles them sits unreachable.
+    kv_bytes = 2 * nk16 * d * jnp.dtype(q.dtype).itemsize
+    bq_fit = max(0, (budget - kv_bytes) // (4 * nk16)) // 16 * 16
     if bq_fit >= 16:
         n16 = _round16(n)
         n_blocks = -(-n16 // min(bq_fit, block_q))

@@ -1028,6 +1028,7 @@ class AutoRefineChain:
         self.bucket_choices = tuple(sorted(set(
             list(bucket_choices) + [miss_bucket])))
         self._recent_miss: "deque" = deque(maxlen=16)
+        self._last_overflow: int | None = None
         self.bucket_switches: list[tuple[int, int]] = []  # (frame, new_bucket)
         self.pending: "deque" = deque()
         self.results: list[tuple[np.ndarray, float]] = []
@@ -1106,6 +1107,16 @@ class AutoRefineChain:
         self._recent_miss.append(n_miss)
         cur = self.miss_bucket
         if overflowed:
+            # An ISOLATED overflow is a trajectory jump, not miss pressure:
+            # the full re-dispatch refills the cache and the track
+            # re-settles, so escalating would pin a larger (costlier)
+            # stream program on settled motion until the 16-frame
+            # de-escalation window elapses. Only recurring overflows — a
+            # second within 8 drained frames — escalate the bucket.
+            now = len(self.results)
+            prev_overflow, self._last_overflow = self._last_overflow, now
+            if prev_overflow is None or now - prev_overflow > 8:
+                return
             bigger = [b for b in self.bucket_choices if b > cur]
             if bigger:
                 # Jump straight to a bucket that would have absorbed this

@@ -648,12 +648,15 @@ def _build_smooth_ctx(args, mesh, frames, k_full, traj) -> dict:
     # the short warm-up prefix compiles exactly what the full pass runs.
     staged = stage_frames_hbm(np.asarray(frames))
     # Warm-up: compile the chunked confidence program, quantile (at the
-    # staged bucket), correspondence/track-chain/EPnP interval programs.
+    # staged bucket), correspondence/track-chain/EPnP interval programs —
+    # once per adaptive cap bucket (each bucket is its own chain shape).
+    cap_buckets = (16, cap) if args.tiny else (128, 256, cap)
     StreamingInliers(refiner, smesh, staged, k_full, chunk=8).warmup()
-    smooth_track(refiner, smesh, staged.prefix(12), jnp.asarray(k_full),
-                 np.stack(traj[:12]), interval=12, pipelined=True, cap=cap)
+    for b in cap_buckets:
+        smooth_track(refiner, smesh, staged.prefix(12), jnp.asarray(k_full),
+                     np.stack(traj[:12]), interval=12, pipelined=True, cap=b)
     return {"refiner": refiner, "smesh": smesh, "staged": staged, "cap": cap,
-            "k_full": jnp.asarray(k_full)}
+            "cap_buckets": cap_buckets, "k_full": jnp.asarray(k_full)}
 
 
 def _smooth_stage(args, ctx, results, conf, stages: dict) -> float:
@@ -685,15 +688,20 @@ def _smooth_stage(args, ctx, results, conf, stages: dict) -> float:
     # overlapped mode additionally absorbs any in-flight confidence compute
     # the loop deferred, so the median reflects the steady warm cost.
     pass_ms = []
+    tel = {}
     for _ in range(3):
         tp = time.perf_counter()
+        tel = {}
         _, inliers_used = smooth_track(refiner, smesh, staged, k, poses,
-                                       interval=12, pipelined=True, cap=cap, inliers=inliers)
+                                       interval=12, pipelined=True, cap=cap,
+                                       inliers=inliers,
+                                       cap_buckets=ctx["cap_buckets"], telemetry=tel)
         pass_ms.append(1e3 * (time.perf_counter() - tp) / staged.n)
     ctx["inliers"] = np.asarray(inliers_used)  # reused by the CoTracker2-cost stage
     ms = conf_drain_ms + float(_np.median(pass_ms))
     stages["smooth"] = {
         "ms_per_frame": round(ms, 2), "cap": cap,
+        "cap_choices": tel.get("cap_choices", []),
         "pass_ms_per_frame": [round(m, 2) for m in pass_ms],
         "overlapped": conf is not None,
         **({"conf_drain_ms_per_frame": round(conf_drain_ms, 2)} if conf is not None else {}),

@@ -122,7 +122,7 @@ def smooth_track(
     refiner, mesh, frames, k, poses, interval: int = 12,
     pipelined: bool = True, cap: int = 512, keep_coarse_translation: bool = True,
     inliers=None, device_mesh=None, mesh_axis: str = "data",
-    batched_intervals: bool | None = None,
+    batched_intervals: bool | None = None, cap_buckets=None, telemetry=None,
 ):
     """Full track-refine pass over one video (reference
     smooth_poses_video.py:92-192): confidence scoring picks the best start
@@ -151,7 +151,19 @@ def smooth_track(
     intervals run as ONE batched program — batched correspondences render +
     batched ZNCC chains — with the interval axis sharded (each chip scans
     its own intervals). Results equal the single-device pipelined path
-    (parity-tested on the 8-device CPU mesh)."""
+    (parity-tested on the 8-device CPU mesh).
+
+    `cap_buckets` (pipelined only; e.g. (128, 256, 512)) makes the
+    correspondence cap ADAPTIVE per interval: phase 1 enqueues every
+    interval's correspondence render and async-fetches only the valid
+    COUNTS; phase 2 sizes each interval's chain to the smallest bucket
+    covering its count (the largest bucket acts as the static `cap`).
+    Sparse intervals (distant/small objects) then pay bucket-128 ZNCC+EPnP
+    work instead of the full cap — results are EXACTLY the static-cap
+    path's (selection keeps valid-first grid order; padded rows are masked
+    from EPnP; ZNCC is per-point independent — parity-tested both
+    directions). `telemetry` (a dict) records the per-interval choices
+    under "cap_choices"."""
     from freepose_tpu.datasets.video import StagedVideo
 
     staged = isinstance(frames, StagedVideo)
@@ -197,7 +209,14 @@ def smooth_track(
                 refined.update(predict_interval(refiner, mesh, frames, k, anchor, s, idxs))
     else:
         track_dev = getattr(refiner.tracker, "track_device", None)
-        jobs = []
+        caps = None
+        if cap_buckets is not None:
+            caps = tuple(sorted(set(int(b) for b in cap_buckets)))
+        # Phase 1: enqueue every interval's correspondence render
+        # back-to-back; with adaptive caps, async-fetch only each
+        # interval's scalar valid COUNT (the bucket choice needs it on
+        # host; the fetches overlap the remaining renders).
+        pre = []
         for s in starts:
             idxs = list(range(s, min(s + step, n)))
             if not idxs:
@@ -212,12 +231,29 @@ def smooth_track(
             query, surface, valid = refiner.compute_2d3d_correspondences(
                 mesh, photo, k, jnp.asarray(poses[s]), fetch=not staged
             )
-            # Static top-`cap` selection: valid correspondences first, grid
+            nv = None
+            if caps is not None:
+                nv = jnp.sum(valid.astype(jnp.int32))
+                try:
+                    nv.copy_to_host_async()
+                except Exception:
+                    pass
+            pre.append((s, idxs, query, surface, valid, nv))
+        jobs = []
+        for s, idxs, query, surface, valid, nv in pre:
+            if nv is None:
+                icap = cap
+            else:
+                n_valid = int(np.asarray(nv))
+                icap = next((b for b in caps if b >= n_valid), caps[-1])
+                if telemetry is not None:
+                    telemetry.setdefault("cap_choices", []).append((s, icap))
+            # Static top-`icap` selection: valid correspondences first, grid
             # order (the dynamic path's subset order), padding after.
             g2 = valid.shape[0]
             order = jnp.argsort(
                 jnp.where(valid, 0, g2 + 1) + jnp.arange(g2)
-            )[: min(cap, g2)]
+            )[: min(icap, g2)]
             qs, ss, vs = query[order], surface[order], valid[order]
             # Pad the interval to `step` frames (clamped repeats) so every
             # interval's chain shares ONE compiled shape; padded rows drop.
@@ -301,6 +337,10 @@ def main() -> None:
     ap.add_argument("--cap", type=int, default=512,
                     help="pipelined mode: max tracked correspondences per "
                     "interval (grid-order valid-first)")
+    ap.add_argument("--cap-buckets", type=int, nargs="+", default=[128, 256, 512],
+                    help="adaptive per-interval cap buckets (sparse intervals "
+                    "run smaller track/PnP programs at exact parity); pass a "
+                    "single value equal to --cap to disable")
     args = ap.parse_args()
 
     frames = load_frames(args.video_dir)
@@ -356,6 +396,7 @@ def main() -> None:
         refiner, mesh, frames, k, poses, interval=args.interval,
         pipelined=not args.exact_intervals, cap=args.cap,
         keep_coarse_translation=args.keep_coarse_translation,
+        cap_buckets=tuple(args.cap_buckets) if args.cap_buckets else None,
     )
     print(f"inliers per frame: {inliers.tolist()} -> start at {int(np.argmax(inliers))}")
     dt = time.perf_counter() - t0

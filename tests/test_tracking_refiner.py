@@ -186,6 +186,67 @@ def test_smooth_track_pipelined_matches_exact(refiner):
     np.testing.assert_allclose(pipe, exact, rtol=1e-3, atol=1e-4)
 
 
+def test_smooth_track_adaptive_cap_matches_static(refiner):
+    """cap_buckets (adaptive per-interval correspondence cap, VERDICT r4
+    #8): sparse intervals run bucket-sized ZNCC+EPnP programs, dense ones
+    the full cap — and the result EXACTLY equals the static-cap path. The
+    trajectory's distant tail (z 0.8 -> 3.0) forces BOTH bucket directions
+    within one pass."""
+    from scripts.smooth_poses_video import smooth_track
+
+    # Thin rod: the square correspondence crop is mostly background when the
+    # rod is SIDE-ON (sparse valid grid) and mostly foreground END-ON
+    # (dense) — the two interval starts land one in each regime.
+    rng = np.random.default_rng(3)
+    nt, nl, r, length = 10, 12, 0.015, 0.4
+    verts, faces = [], []
+    for i in range(nl + 1):
+        x = -length / 2 + length * i / nl
+        for j in range(nt):
+            th = 2 * np.pi * j / nt
+            verts.append([x, r * np.cos(th), r * np.sin(th)])
+    for i in range(nl):
+        for j in range(nt):
+            a = i * nt + j
+            b = i * nt + (j + 1) % nt
+            c = (i + 1) * nt + j
+            d = (i + 1) * nt + (j + 1) % nt
+            faces.append([a, b, c])
+            faces.append([b, d, c])
+    mesh = TriMesh(np.asarray(verts, np.float32), np.asarray(faces, np.int32),
+                   rng.random((len(verts), 3)).astype(np.float32))
+    poses = _gt_poses(t=8)
+    for t in range(4, 8):  # end-on tail
+        poses[t, :3, :3] = (Rot.from_rotvec([0, np.pi / 2, 0]).as_matrix()
+                            @ poses[t, :3, :3]).astype(np.float32)
+    frames = (_render_video(mesh, poses) * 255).astype(np.uint8)
+    k = np.asarray(K)
+    static, inl_s = smooth_track(
+        refiner, mesh, frames, jnp.asarray(k), poses, interval=4,
+        pipelined=True, cap=2000,
+    )
+    # The two starts' valid counts straddle a bucket boundary placed at the
+    # smaller count (deterministic renders -> deterministic counts).
+    best = int(np.argmax(inl_s))
+    starts = sorted({best, best + 4 if best < 4 else best - 4})
+    nvs = []
+    for s in starts:
+        _q, _s3, valid = refiner.compute_2d3d_correspondences(
+            mesh, frames[s].transpose(2, 0, 1), K, jnp.asarray(poses[s]))
+        nvs.append(int(valid.sum()))
+    assert min(nvs) < max(nvs), nvs  # the regimes really differ
+    b_small = min(nvs)
+    tel = {}
+    adap, inl_a = smooth_track(
+        refiner, mesh, frames, jnp.asarray(k), poses, interval=4,
+        pipelined=True, cap=2000, cap_buckets=(b_small, 2000), telemetry=tel,
+    )
+    np.testing.assert_allclose(inl_s, inl_a)
+    np.testing.assert_allclose(adap, static, rtol=1e-4, atol=1e-5)
+    chosen = {c for _s, c in tel["cap_choices"]}
+    assert chosen == {b_small, 2000}, (tel, nvs)  # both directions exercised
+
+
 def test_smooth_track_staged_matches_host(refiner):
     """StagedVideo (device-resident bucketed frames, on-device chunk slices
     and interval gathers) must reproduce the host-array pipelined path."""
