@@ -16,6 +16,12 @@ warm:
 	python bench.py > /dev/null || true
 	FREEPOSE_BENCH=proposals python bench.py > /dev/null || true
 
+# Released-weights drop-in (docs/WEIGHTS.md): convert every checkpoint found
+# under data/checkpoints/ to .npz params, then run the gated smoke tier.
+weights:
+	python -m scripts.prepare_weights
+	python -m pytest tests/test_weights_smoke.py -q
+
 native:
 	$(MAKE) -C csrc
 
