@@ -7,6 +7,12 @@ CPU_ENV = env -u PALLAS_AXON_POOL_IPS JAX_PLATFORMS=cpu
 test:
 	python -m pytest tests/ -q
 
+# Full suite, reproducibly green: quick tier in one process, slow tier one
+# module per fresh process (a monolithic run segfaults XLA:CPU around the
+# ~220th test on this 1-core box — see scripts/run_tests.py).
+test-all:
+	python scripts/run_tests.py
+
 bench:
 	python bench.py
 
