@@ -591,6 +591,12 @@ class CoTracker2Predictor:
 
         tracks, vis = _run_model(self.model.apply, self.params, v, jnp.asarray(q_all), (mh, mw), cfg.iters)
 
+        # The backward pass only contributes to frames strictly BEFORE a
+        # query's frame (`before` mask below) — when every query sits on
+        # frame 0 (the smooth interval layout) it would merge into zero
+        # frames, so skipping it halves the tracker cost at exact parity.
+        if backward_tracking and float(q_all[:, 0].max()) <= 0:
+            backward_tracking = False
         if backward_tracking:
             inv_q = q_all.copy()
             inv_q[:, 0] = t - 1 - inv_q[:, 0]
