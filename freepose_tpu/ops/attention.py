@@ -104,7 +104,7 @@ def _pad_to(x: jax.Array, size: int, axis: int) -> jax.Array:
 
 @partial(
     jax.jit,
-    static_argnames=("scale", "block_q", "block_k", "interpret"),
+    static_argnames=("scale", "block_q", "block_k", "interpret", "single_budget"),
 )
 def flash_attention(
     q: jax.Array,  # [B, H, N, d]
@@ -114,6 +114,7 @@ def flash_attention(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
+    single_budget: int = 6 << 20,
 ) -> jax.Array:
     b, h, n, d = q.shape
     nk = k.shape[2]
@@ -138,7 +139,7 @@ def flash_attention(
     # one block, the round-2 tuning) and longer rows like the 1374-token
     # ViT-B@518 confidence stream, which previously fell through to the
     # streaming regime and paid 2× MXU work for the d=128 padding.
-    budget = 6 << 20
+    budget = single_budget
     # The kernel keeps K AND V whole-row resident per program in addition to
     # the f32 score tile — budget both, else intermediate key lengths
     # (~16k-98k tokens) would pick this regime and blow VMEM at compile

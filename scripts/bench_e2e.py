@@ -53,7 +53,7 @@ def make_args(**kw):
     d = dict(tiny=False, frames=48, warmup=8, deg_per_frame=2.0,
              auto_bucket=16, sam2_chunk=8, reps=3, skip_frame0=False,
              skip_smooth=False, no_overlap_smooth=False, no_motion_sweep=False,
-             skip_cotracker2_smooth=False, lag=3)
+             skip_cotracker2_smooth=False, lag=3, conf_chunk=8)
     d.update(kw)
     return types.SimpleNamespace(**d)
 
@@ -75,6 +75,9 @@ def main() -> None:
     ap.add_argument("--skip-smooth", action="store_true")
     ap.add_argument("--skip-cotracker2-smooth", action="store_true",
                     help="skip the CoTracker2-cost smooth stage record")
+    ap.add_argument("--conf-chunk", type=int, default=8,
+                    help="streamed smooth-confidence chunk (frames per "
+                         "dispatch; ViT-B batch is 2x this)")
     ap.add_argument("--no-overlap-smooth", action="store_true",
                     help="run the smooth confidence pass serially after the "
                     "loop (round-3 layout) instead of streaming its chunks "
@@ -349,7 +352,7 @@ def run_e2e_bench(args) -> dict:
 
             conf = StreamingInliers(
                 smooth_ctx["refiner"], smooth_ctx["smesh"], smooth_ctx["staged"],
-                k_full, chunk=8)
+                k_full, chunk=args.conf_chunk)
         ms, results, chain = _coupled_loop(
             frames_dev, true_dev, traj, seed_box, f"e2e-{rep}", conf)
         return ms, results, chain, conf
@@ -651,7 +654,7 @@ def _build_smooth_ctx(args, mesh, frames, k_full, traj) -> dict:
     # staged bucket), correspondence/track-chain/EPnP interval programs —
     # once per adaptive cap bucket (each bucket is its own chain shape).
     cap_buckets = (16, cap) if args.tiny else (128, 256, cap)
-    StreamingInliers(refiner, smesh, staged, k_full, chunk=8).warmup()
+    StreamingInliers(refiner, smesh, staged, k_full, chunk=args.conf_chunk).warmup()
     for b in cap_buckets:
         smooth_track(refiner, smesh, staged.prefix(12), jnp.asarray(k_full),
                      np.stack(traj[:12]), interval=12, pipelined=True, cap=b)
