@@ -168,11 +168,33 @@ class MultiScaleBlock(nn.Module):
     mlp_ratio: float
     dtype: jnp.dtype
     use_flash: bool = False
+    # pre_windowed: x arrives ALREADY partitioned as [B·nW, ws, ws, C] (a
+    # window-resident stage run, see Hiera.__call__) — skip the per-block
+    # partition/unpartition pair. `pad_mask` ([nW, ws, ws, 1] float, or None
+    # when the map divides the window) re-zeroes pad tokens post-norm,
+    # reproducing the classic path's fresh zero padding EXACTLY: LayerNorm
+    # and the qkv bias see the same zero rows the re-partition would insert.
+    pre_windowed: bool = False
+    pad_mask: jax.Array | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         residual = x
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        if self.pre_windowed:
+            if self.pad_mask is not None:
+                nw = self.pad_mask.shape[0]
+                h = (h.reshape(-1, nw, *h.shape[1:])
+                     * self.pad_mask[None].astype(h.dtype)).reshape(h.shape)
+            h = MultiScaleAttention(
+                self.dim_out, self.num_heads, None, self.dtype,
+                use_flash=False, name="attn",
+            )(h)
+            x = residual + h
+            h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+            return x + FeedForward(
+                int(self.dim_out * self.mlp_ratio), self.dim_out, self.dtype, name="mlp"
+            )(h)
         if self.dim != self.dim_out:
             proj = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(h)
             residual = _max_pool2(proj, self.query_stride) if self.query_stride else proj
@@ -282,6 +304,15 @@ class Hiera(nn.Module):
         pos = pos + jnp.tile(pos_win, (1, h // ws0, w // ws0, 1))
         x = x + pos.astype(cfg.dtype)
 
+        # Window-RESIDENT stage runs: consecutive same-window blocks keep x
+        # in the partitioned [B·nW, ws, ws, C] layout — everything between
+        # attentions (LayerNorm, MLP, residuals) is per-token, so one
+        # partition/unpartition pair serves a whole run instead of one pair
+        # per block (the per-block transposes were 26% of the SAM2 chunk's
+        # device time: copies 7.1 + reshapes 4.5 ms/frame of 44.8, round-5
+        # trace). Pad tokens are re-zeroed post-norm via a static mask, so
+        # numerics equal the classic per-block path exactly (parity-tested).
+        win = None  # (ws, pad_hw, hw) when x is window-partitioned
         outputs = []
         total_idx = 0
         for stage_idx, n_blocks in enumerate(cfg.blocks_per_stage):
@@ -296,18 +327,58 @@ class Hiera(nn.Module):
                     if first and stage_idx <= cfg.num_query_pool_stages
                     else None
                 )
-                x = MultiScaleBlock(
-                    dim=dim,
-                    dim_out=cfg.embed_dim_per_stage[stage_idx],
-                    num_heads=cfg.heads_per_stage[stage_idx],
-                    window_size=ws,
-                    query_stride=q_stride,
-                    mlp_ratio=cfg.mlp_ratio,
-                    dtype=cfg.dtype,
-                    use_flash=cfg.use_flash,
-                    name=f"block{total_idx}",
-                )(x)
+                plain = ws > 0 and q_stride is None and dim == cfg.embed_dim_per_stage[stage_idx]
+                if win is not None and (not plain or win[0] != ws):
+                    x = x.reshape(x.shape[0], win[0], win[0], x.shape[-1])
+                    x = window_unpartition(x, win[0], win[1], win[2])
+                    win = None
+                if plain and win is None:
+                    hw = (x.shape[1], x.shape[2])
+                    x, pad_hw = window_partition(x, ws)
+                    # Flat token layout [B·nW, 1, ws², C] (free reshape):
+                    # LayerNorm/MLP tile over ws²-row blocks instead of
+                    # ws-row fragments.
+                    x = x.reshape(x.shape[0], 1, ws * ws, x.shape[-1])
+                    win = (ws, pad_hw, hw)
+                if win is not None:
+                    pad_mask = None
+                    if win[1] != win[2]:
+                        hp, wp = win[1]
+                        hh, ww = win[2]
+                        m = np.zeros((hp, wp, 1), np.float32)
+                        m[:hh, :ww] = 1.0
+                        m = m.reshape(hp // ws, ws, wp // ws, ws, 1).transpose(0, 2, 1, 3, 4)
+                        pad_mask = jnp.asarray(m.reshape(-1, 1, ws * ws, 1))
+                    x = MultiScaleBlock(
+                        dim=dim,
+                        dim_out=cfg.embed_dim_per_stage[stage_idx],
+                        num_heads=cfg.heads_per_stage[stage_idx],
+                        window_size=ws,
+                        query_stride=None,
+                        mlp_ratio=cfg.mlp_ratio,
+                        dtype=cfg.dtype,
+                        use_flash=cfg.use_flash,
+                        pre_windowed=True,
+                        pad_mask=pad_mask,
+                        name=f"block{total_idx}",
+                    )(x)
+                else:
+                    x = MultiScaleBlock(
+                        dim=dim,
+                        dim_out=cfg.embed_dim_per_stage[stage_idx],
+                        num_heads=cfg.heads_per_stage[stage_idx],
+                        window_size=ws,
+                        query_stride=q_stride,
+                        mlp_ratio=cfg.mlp_ratio,
+                        dtype=cfg.dtype,
+                        use_flash=cfg.use_flash,
+                        name=f"block{total_idx}",
+                    )(x)
                 total_idx += 1
+            if win is not None:
+                x = x.reshape(x.shape[0], win[0], win[0], x.shape[-1])
+                x = window_unpartition(x, win[0], win[1], win[2])
+                win = None
             outputs.append(x)
         return outputs
 

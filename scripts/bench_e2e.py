@@ -53,7 +53,7 @@ def make_args(**kw):
     d = dict(tiny=False, frames=48, warmup=8, deg_per_frame=2.0,
              auto_bucket=16, sam2_chunk=8, reps=3, skip_frame0=False,
              skip_smooth=False, no_overlap_smooth=False, no_motion_sweep=False,
-             skip_cotracker2_smooth=False, lag=3, conf_chunk=8)
+             skip_cotracker2_smooth=False, lag=3, conf_chunk=8, profile=None)
     d.update(kw)
     return types.SimpleNamespace(**d)
 
@@ -75,6 +75,8 @@ def main() -> None:
     ap.add_argument("--skip-smooth", action="store_true")
     ap.add_argument("--skip-cotracker2-smooth", action="store_true",
                     help="skip the CoTracker2-cost smooth stage record")
+    ap.add_argument("--profile", default=None,
+                    help="jax.profiler trace dir for the last loop rep")
     ap.add_argument("--conf-chunk", type=int, default=8,
                     help="streamed smooth-confidence chunk (frames per "
                          "dispatch; ViT-B batch is 2x this)")
@@ -362,7 +364,15 @@ def run_e2e_bench(args) -> dict:
     chain = None
     conf = None
     for rep in range(args.reps):
-        ms, results, chain, conf = one_rep(rep)
+        if getattr(args, "profile", None) and rep == args.reps - 1:
+            import jax.profiler as _prof
+
+            _prof.start_trace(args.profile)
+            ms, results, chain, conf = one_rep(rep)
+            _prof.stop_trace()
+            print(f"profile trace -> {args.profile}")
+        else:
+            ms, results, chain, conf = one_rep(rep)
         if rep < args.reps - 1 and conf is not None:
             conf.finalize()  # drain this rep's in-flight confidence work
         loop_ms_reps.append(ms)

@@ -370,6 +370,11 @@ def run_refine_bench(args) -> dict:
         lags = ([int(s) for s in args.auto_lag_sweep.split(",")]
                 if args.auto_lag_sweep else [args.chain_lag])
         auto_run(lags[0])  # compile both auto-step variants
+        if getattr(args, "profile", None):
+            jax.profiler.start_trace(args.profile)
+            auto_run(lags[0])
+            jax.profiler.stop_trace()
+            print(f"profile trace -> {args.profile}")
         for lag in lags:
             ms_au, auto = auto_run(lag)
             mc = np.asarray(auto.miss_counts)
@@ -409,6 +414,8 @@ def _parser() -> argparse.ArgumentParser:
                     help="skip the pipelined closed-loop chain measurement")
     ap.add_argument("--chain-lag", type=int, default=3,
                     help="frames the chain's host finalize trails the dispatch")
+    ap.add_argument("--profile", default=None,
+                    help="jax.profiler trace dir for the auto-chain run")
     ap.add_argument("--auto-only", action="store_true",
                     help="measure only the autonomous device-cache chain")
     ap.add_argument("--auto-lag-sweep", default=None,
