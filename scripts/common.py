@@ -179,9 +179,15 @@ def production_sam2_video_config():
     if _on_accelerator():
         import dataclasses
 
+        import jax.numpy as jnp
+
         # Streaming flash kernel for the ~28.7k-key memory cross-attention
         # (4 layers, 4096 queries): 101.7 -> 13.0 ms measured on one v5e.
+        # bf16 memory attention/encoder matches the reference's torch
+        # inference dtype (like the trunk) and halves the stream kernel's
+        # K/V traffic — the r5 chunk profile showed the 4 stream kernels
+        # running f32 at 3.5 ms/frame.
         vcfg = dataclasses.replace(
-            vcfg, mem=dataclasses.replace(vcfg.mem, use_flash=True)
+            vcfg, mem=dataclasses.replace(vcfg.mem, use_flash=True, dtype=jnp.bfloat16)
         )
     return vcfg
