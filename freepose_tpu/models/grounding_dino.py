@@ -148,7 +148,7 @@ def grid_sample_zeros(value: jax.Array, locs: jax.Array) -> jax.Array:
     )
 
 
-def grid_sample_zeros_quad(value: jax.Array, locs: jax.Array) -> jax.Array:
+def grid_sample_zeros_quad(value: jax.Array, locs: jax.Array, weight: jax.Array | None = None) -> jax.Array:
     """`grid_sample_zeros` with ONE gather per sample instead of four.
 
     The four bilinear taps of a sample are 2×2-adjacent pixels; gathering
@@ -188,6 +188,12 @@ def grid_sample_zeros_quad(value: jax.Array, locs: jax.Array) -> jax.Array:
     w4 = jnp.stack(
         [(1 - wy) * (1 - wx), (1 - wy) * wx, wy * (1 - wx), wy * wx], axis=-1
     ) * inb[..., None]
+    if weight is not None:
+        # Fold a per-sample scalar (e.g. the deformable attention weight)
+        # into the bilinear contraction: callers can then ACCUMULATE level
+        # outputs instead of stacking [B, H, Q, L, P, dh] and paying its
+        # layout-transpose copies (~10 ms/detect at grounding-dino-base).
+        w4 = w4 * weight[..., None]
     return jnp.sum(rows * w4[..., None], axis=-2)
 
 
@@ -228,18 +234,21 @@ class MultiScaleDeformableAttention(nn.Module):
             )
         grids = 2.0 * locs - 1.0  # [B, Q, H, L, P, 2]
 
+        # Per-level weighted sampling with the attention weight folded into
+        # the bilinear contraction, ACCUMULATED across levels — no stacked
+        # [B, H, Q, L, P, dh] tensor, no layout-transpose copies (same sum,
+        # reassociated).
         start = 0
-        sampled = []
+        out = None
         for lvl, (ht, wd) in enumerate(spatial_shapes):
             v = value[:, start : start + ht * wd]  # [B, hw, H, dh]
             v = v.transpose(0, 2, 1, 3).reshape(b * nh, ht, wd, head_dim)
             g = grids[:, :, :, lvl].transpose(0, 2, 1, 3, 4).reshape(b * nh, q * npts, 2)
-            s = grid_sample_zeros_quad(v, g).reshape(b, nh, q, npts, head_dim)
-            sampled.append(s)
+            aw = weights[:, :, :, lvl].transpose(0, 2, 1, 3).reshape(b * nh, q * npts)
+            s = grid_sample_zeros_quad(v, g, weight=aw)
+            s = s.reshape(b, nh, q, npts, head_dim).sum(axis=3)  # [B, H, Q, dh]
+            out = s if out is None else out + s
             start += ht * wd
-        stacked = jnp.stack(sampled, axis=3)  # [B, H, Q, L, P, dh]
-        w = weights.transpose(0, 2, 1, 3, 4)  # [B, H, Q, L, P]
-        out = jnp.sum(stacked * w[..., None], axis=(3, 4))  # [B, H, Q, dh]
         out = out.transpose(0, 2, 1, 3).reshape(b, q, c)
         return nn.Dense(c, dtype=self.dtype, name="output_proj")(out)
 

@@ -15,7 +15,7 @@ from freepose_tpu.models.grounding_dino import text_token_masks
 ids = np.array([[101, 5200, 1012, 102]])
 sa, pos = text_token_masks(ids)
 px = jnp.asarray(rng.random((1, 3, 800, 800)), jnp.float32)
-params = model.init(jax.random.PRNGKey(0), px[:, :, :64, :64], jnp.asarray(ids), jnp.asarray(sa), jnp.asarray(pos), jnp.asarray(ids == 0))["params"]
+params = model.init(jax.random.PRNGKey(0), px[:, :, :320, :320], jnp.asarray(ids), jnp.asarray(sa), jnp.asarray(pos), jnp.asarray(ids == 0))["params"]
 det = GroundingDinoDetector(cfg, params, image_size=800)
 frame = rng.integers(0, 255, size=(480, 640, 3), dtype=np.uint8)
 det.detect(frame, input_ids=ids, box_threshold=0.5)  # compile
